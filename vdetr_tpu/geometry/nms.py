@@ -1,0 +1,137 @@
+"""Greedy 3D NMS.
+
+Numpy versions reproduce the reference pick order bit-for-bit
+(utils/nms.py:43-162) and are used by the host-side AP evaluator.
+`nms_3d_samecls_mask` is the device-side (jit-friendly) equivalent:
+a masked iterative argmax over a fixed proposal count that returns a
+keep-mask instead of a dynamic pick list.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def nms_2d_faster_np(boxes, overlap_threshold, old_type=False):
+    """boxes (n, 5): x1,y1,x2,y2,score. Reference: utils/nms.py:43-77."""
+    x1, y1, x2, y2, score = (boxes[:, i] for i in range(5))
+    area = (x2 - x1) * (y2 - y1)
+    order = np.argsort(score)
+    pick = []
+    while order.size:
+        i = order[-1]
+        pick.append(i)
+        rest = order[:-1]
+        xx1 = np.maximum(x1[i], x1[rest])
+        yy1 = np.maximum(y1[i], y1[rest])
+        xx2 = np.minimum(x2[i], x2[rest])
+        yy2 = np.minimum(y2[i], y2[rest])
+        w = np.maximum(0, xx2 - xx1)
+        h = np.maximum(0, yy2 - yy1)
+        inter = w * h
+        o = inter / area[rest] if old_type else inter / (area[i] + area[rest] - inter)
+        order = rest[o <= overlap_threshold]
+    return pick
+
+
+def _nms3d_overlaps(boxes, i, rest, old_type):
+    x1, y1, z1, x2, y2, z2 = (boxes[:, k] for k in range(6))
+    area = (x2 - x1) * (y2 - y1) * (z2 - z1)
+    xx1 = np.maximum(x1[i], x1[rest])
+    yy1 = np.maximum(y1[i], y1[rest])
+    zz1 = np.maximum(z1[i], z1[rest])
+    xx2 = np.minimum(x2[i], x2[rest])
+    yy2 = np.minimum(y2[i], y2[rest])
+    zz2 = np.minimum(z2[i], z2[rest])
+    l = np.maximum(0, xx2 - xx1)
+    w = np.maximum(0, yy2 - yy1)
+    h = np.maximum(0, zz2 - zz1)
+    inter = l * w * h
+    if old_type:
+        return inter / area[rest]
+    return inter / (area[i] + area[rest] - inter)
+
+
+def nms_3d_faster_np(boxes, overlap_threshold, old_type=False):
+    """boxes (n, 7): x1..z2,score. Reference: utils/nms.py:80-117."""
+    score = boxes[:, 6]
+    order = np.argsort(score)
+    pick = []
+    while order.size:
+        i = order[-1]
+        pick.append(i)
+        rest = order[:-1]
+        o = _nms3d_overlaps(boxes, i, rest, old_type)
+        order = rest[o <= overlap_threshold]
+    return pick
+
+
+def nms_3d_faster_samecls_np(boxes, overlap_threshold, old_type=False):
+    """boxes (n, 8): x1..z2,score,cls. Reference: utils/nms.py:120-162."""
+    score = boxes[:, 6]
+    cls = boxes[:, 7]
+    order = np.argsort(score)
+    pick = []
+    while order.size:
+        i = order[-1]
+        pick.append(i)
+        rest = order[:-1]
+        o = _nms3d_overlaps(boxes, i, rest, old_type)
+        o = o * (cls[i] == cls[rest])
+        order = rest[o <= overlap_threshold]
+    return pick
+
+
+def nms_3d_samecls_mask(aabbs, scores, classes, valid, iou_threshold,
+                        old_type: bool = False):
+    """Device-side class-aware greedy 3D NMS.
+
+    aabbs: (K, 6) (x1,y1,z1,x2,y2,z2); scores: (K,); classes: (K,) int;
+    valid: (K,) bool. Returns keep mask (K,) bool with the same greedy
+    semantics as nms_3d_faster_samecls_np (ties broken identically to
+    np.argsort order is NOT guaranteed; scores are generally distinct).
+    """
+    K = scores.shape[0]
+    x1, y1, z1, x2, y2, z2 = (aabbs[:, i] for i in range(6))
+    area = (x2 - x1) * (y2 - y1) * (z2 - z1)
+
+    xx1 = jnp.maximum(x1[:, None], x1[None, :])
+    yy1 = jnp.maximum(y1[:, None], y1[None, :])
+    zz1 = jnp.maximum(z1[:, None], z1[None, :])
+    xx2 = jnp.minimum(x2[:, None], x2[None, :])
+    yy2 = jnp.minimum(y2[:, None], y2[None, :])
+    zz2 = jnp.minimum(z2[:, None], z2[None, :])
+    inter = (
+        jnp.clip(xx2 - xx1, 0.0)
+        * jnp.clip(yy2 - yy1, 0.0)
+        * jnp.clip(zz2 - zz1, 0.0)
+    )
+    if old_type:
+        # asymmetric: overlap of candidate-i against remaining-j uses area[j]
+        ov = inter / jnp.clip(area[None, :], 1e-12)
+    else:
+        ov = inter / jnp.clip(area[:, None] + area[None, :] - inter, 1e-12)
+    same_cls = classes[:, None] == classes[None, :]
+    ov = jnp.where(same_cls, ov, 0.0)
+
+    neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
+
+    def body(state):
+        keep, alive, _ = state
+        s = jnp.where(alive, scores, neg_inf)
+        i = jnp.argmax(s)
+        keep = keep.at[i].set(True)
+        # suppress i itself and overlapping same-class boxes
+        suppress = (ov[i] > iou_threshold) | (jnp.arange(K) == i)
+        alive = alive & ~suppress
+        return keep, alive, alive.any()
+
+    def cond(state):
+        return state[2]
+
+    keep0 = jnp.zeros((K,), bool)
+    alive0 = valid
+    keep, _, _ = jax.lax.while_loop(cond, body, (keep0, alive0, alive0.any()))
+    return keep
