@@ -1,0 +1,62 @@
+"""Device-side LAP vs scipy.optimize.linear_sum_assignment."""
+
+import numpy as np
+import jax.numpy as jnp
+from scipy.optimize import linear_sum_assignment
+
+from vdetr_tpu.ops import hungarian
+
+
+def check_optimal(cost, col4row, n_valid):
+    rows, cols = linear_sum_assignment(cost[:n_valid])
+    want = cost[rows, cols].sum()
+    got_cols = col4row[:n_valid]
+    assert (got_cols >= 0).all()
+    assert len(set(got_cols.tolist())) == n_valid, "columns must be distinct"
+    got = cost[np.arange(n_valid), got_cols].sum()
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_square_random(rng):
+    for _ in range(5):
+        cost = rng.rand(8, 8).astype(np.float32)
+        out = np.asarray(hungarian(jnp.asarray(cost[None]),
+                                   jnp.asarray([8])))[0]
+        check_optimal(cost, out, 8)
+
+
+def test_rectangular_random(rng):
+    for _ in range(5):
+        cost = rng.randn(12, 40).astype(np.float32)
+        out = np.asarray(hungarian(jnp.asarray(cost[None]),
+                                   jnp.asarray([12])))[0]
+        check_optimal(cost, out, 12)
+
+
+def test_partial_valid_rows(rng):
+    cost = rng.rand(10, 30).astype(np.float32)
+    out = np.asarray(hungarian(jnp.asarray(cost[None]), jnp.asarray([4])))[0]
+    check_optimal(cost, out, 4)
+    assert (out[4:] == -1).all()
+
+
+def test_zero_valid_rows(rng):
+    cost = rng.rand(5, 9).astype(np.float32)
+    out = np.asarray(hungarian(jnp.asarray(cost[None]), jnp.asarray([0])))[0]
+    assert (out == -1).all()
+
+
+def test_batched(rng):
+    costs = rng.randn(4, 16, 64).astype(np.float32)
+    nv = np.array([16, 3, 0, 9])
+    outs = np.asarray(hungarian(jnp.asarray(costs), jnp.asarray(nv)))
+    for b in range(4):
+        if nv[b] > 0:
+            check_optimal(costs[b], outs[b], nv[b])
+
+
+def test_negative_costs(rng):
+    # matcher costs can be negative (e.g. -giou); optimum must still match
+    cost = (rng.randn(9, 20) * 10 - 5).astype(np.float32)
+    out = np.asarray(hungarian(jnp.asarray(cost[None]), jnp.asarray([9])))[0]
+    check_optimal(cost, out, 9)

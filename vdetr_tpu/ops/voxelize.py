@@ -1,0 +1,244 @@
+"""Batched, static-shape voxelization (TPU replacement for
+MinkowskiEngine's `batch_sparse_collate` / coordinate manager, reference
+models/model_vdetr.py:250-261).
+
+Design: per sample, voxels live in a padded array of static capacity V,
+sorted by a packed int32 key. Lookups (needed by sparse convolutions) are
+binary searches into the sorted key array — O(log V) fully vectorized
+gathers, no host sync, no dynamic shapes.
+
+Key packing: level-local integer coords (x, y, z) with per-level extents
+(GX, GY, GZ) pack to `(x * GY + y) * GZ + z`. The base extents default to
+(2048, 2048, 511) voxels so the largest key stays below INT32_MAX (the
+sentinel for empty slots). Coordinates are shifted per sample so the
+minimum is >= 0; the shift is aligned down to a multiple of the deepest
+stride so voxel *grouping parity* across downsampling levels matches an
+absolute-coordinate implementation (MinkowskiEngine groups by absolute
+parity).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+KEY_SENTINEL = jnp.iinfo(jnp.int32).max
+DEFAULT_EXTENT = (2048, 2048, 511)
+
+
+@flax.struct.dataclass
+class VoxelGrid:
+    """One level of a sparse voxel hierarchy (batched, padded).
+
+    coords: (B, V, 3) int32, level-local units (world = (coords * stride
+            + origin) * voxel_size); invalid rows are 0.
+    keys:   (B, V) int32, ascending, invalid rows = KEY_SENTINEL.
+    features: (B, V, C) float, invalid rows are 0.
+    valid:  (B, V) bool.
+    origin: (B, 3) int32 base-lattice offset (multiple of the max stride).
+    stride: static int, in base-lattice units.
+    extent: static (GX, GY, GZ) at *this* level.
+    voxel_size: static float, metres per base-lattice unit.
+    """
+
+    coords: jnp.ndarray
+    keys: jnp.ndarray
+    features: jnp.ndarray
+    valid: jnp.ndarray
+    origin: jnp.ndarray
+    stride: int = flax.struct.field(pytree_node=False)
+    extent: Tuple[int, int, int] = flax.struct.field(pytree_node=False)
+    voxel_size: float = flax.struct.field(pytree_node=False)
+
+    @property
+    def capacity(self) -> int:
+        return self.coords.shape[1]
+
+    def world_xyz(self):
+        """(B, V, 3) world coordinates of the voxel lattice points.
+
+        Matches reference model_vdetr.py:280 (`out.C[:, 1:] * voxel_size`):
+        the *corner* (floor) lattice point, not the voxel center.
+        """
+        base = self.coords * self.stride + self.origin[:, None, :]
+        return base.astype(jnp.float32) * self.voxel_size
+
+    def replace_features(self, features):
+        return self.replace(features=features)
+
+
+def pack_keys(coords, extent):
+    """coords: (..., 3) int32 -> (...,) int32 key; out-of-range -> SENTINEL."""
+    gx, gy, gz = extent
+    x, y, z = coords[..., 0], coords[..., 1], coords[..., 2]
+    inb = (x >= 0) & (x < gx) & (y >= 0) & (y < gy) & (z >= 0) & (z < gz)
+    key = (x * gy + y) * gz + z
+    return jnp.where(inb, key, KEY_SENTINEL)
+
+
+def lookup(keys_sorted, query_keys):
+    """Binary-search `query_keys` in ascending `keys_sorted` (V,).
+
+    Returns idx in [0, V) for hits, V for misses (use as gather index into
+    a zero-padded feature table).
+    """
+    V = keys_sorted.shape[0]
+    pos = jnp.searchsorted(keys_sorted, query_keys)
+    pos_c = jnp.clip(pos, 0, V - 1)
+    hit = (keys_sorted[pos_c] == query_keys) & (query_keys != KEY_SENTINEL)
+    return jnp.where(hit, pos_c, V)
+
+
+def _compact_unique(keys, order_payload_fn, capacity):
+    """Sort keys, keep the first row of each unique key, scatter into a
+    fresh padded buffer of size `capacity` (ascending key order).
+
+    keys: (N,) int32 (invalid rows must already be SENTINEL).
+    order_payload_fn(order): given the sort permutation, returns a tuple
+    of arrays (N, ...) aligned with the sorted keys.
+    Returns (out_keys (capacity,), payload_out tuple, count).
+    """
+    N = keys.shape[0]
+    order = jnp.argsort(keys, stable=True)
+    ks = keys[order]
+    payload = order_payload_fn(order)
+    head = (ks != KEY_SENTINEL) & jnp.concatenate(
+        [jnp.ones((1,), bool), ks[1:] != ks[:-1]]
+    )
+    slot = jnp.where(head, jnp.cumsum(head) - 1, capacity)
+    slot = jnp.minimum(slot, capacity)  # overflow + non-heads -> dropped row
+    out_keys = jnp.full((capacity + 1,), KEY_SENTINEL, jnp.int32)
+    out_keys = out_keys.at[slot].set(jnp.where(head, ks, KEY_SENTINEL))[:capacity]
+    outs = []
+    for arr in payload:
+        pad_shape = (capacity + 1,) + arr.shape[1:]
+        buf = jnp.zeros(pad_shape, arr.dtype)
+        buf = buf.at[slot].set(jnp.where(head.reshape((-1,) + (1,) * (arr.ndim - 1)), arr, 0))
+        outs.append(buf[:capacity])
+    count = jnp.minimum(head.sum(), capacity)
+    return out_keys, tuple(outs), count
+
+
+def _voxelize_single(points, feats, point_valid, voxel_size, extent,
+                     capacity, align_stride):
+    """points: (N, 3); feats: (N, C); point_valid: (N,) bool."""
+    coords_raw = jnp.floor(points / voxel_size).astype(jnp.int32)
+    big = jnp.int32(1 << 30)
+    masked = jnp.where(point_valid[:, None], coords_raw, big)
+    mn = masked.min(axis=0)
+    origin = (mn // align_stride) * align_stride  # floor-div: aligns downward
+    origin = jnp.where(point_valid.any(), origin, jnp.zeros((3,), jnp.int32))
+    c = coords_raw - origin[None, :]
+    keys = jnp.where(point_valid, pack_keys(c, extent), KEY_SENTINEL)
+
+    def payload(order):
+        return (c[order], feats[order])
+
+    out_keys, (out_coords, out_feats), count = _compact_unique(
+        keys, payload, capacity
+    )
+    valid = out_keys != KEY_SENTINEL
+    return out_keys, out_coords, out_feats, valid, origin
+
+
+def voxelize(points, feats, point_valid, voxel_size: float,
+             capacity: int, extent=DEFAULT_EXTENT, align_stride: int = 32):
+    """Batched voxelization.
+
+    points: (B, N, 3) world metres; feats: (B, N, C); point_valid: (B, N).
+    Duplicate points in one voxel: the first (lowest original index) wins,
+    mirroring MinkowskiEngine's unique-representative quantization.
+    Returns a stride-1 VoxelGrid.
+    """
+    fn = functools.partial(
+        _voxelize_single,
+        voxel_size=voxel_size,
+        extent=extent,
+        capacity=capacity,
+        align_stride=align_stride,
+    )
+    keys, coords, features, valid, origin = jax.vmap(fn)(
+        points, feats, point_valid
+    )
+    return VoxelGrid(
+        coords=coords,
+        keys=keys,
+        features=features,
+        valid=valid,
+        origin=origin,
+        stride=1,
+        extent=extent,
+        voxel_size=voxel_size,
+    )
+
+
+def downsample_grid(grid: VoxelGrid, out_capacity: int) -> VoxelGrid:
+    """Coordinate-only stride-2 downsample: child coords = floor(c / 2),
+    dedup'd. Features are zero-initialized (filled by the strided conv)."""
+    gx, gy, gz = grid.extent
+    child_extent = ((gx + 1) // 2, (gy + 1) // 2, (gz + 1) // 2)
+
+    def one(coords, valid):
+        cc = coords // 2
+        keys = jnp.where(valid, pack_keys(cc, child_extent), KEY_SENTINEL)
+
+        def payload(order):
+            return (cc[order],)
+
+        out_keys, (out_coords,), _ = _compact_unique(keys, payload, out_capacity)
+        return out_keys, out_coords, out_keys != KEY_SENTINEL
+
+    keys, coords, valid = jax.vmap(one)(grid.coords, grid.valid)
+    C = grid.features.shape[-1]
+    return VoxelGrid(
+        coords=coords,
+        keys=keys,
+        features=jnp.zeros((coords.shape[0], out_capacity, C),
+                           grid.features.dtype),
+        valid=valid,
+        origin=grid.origin,
+        stride=grid.stride * 2,
+        extent=child_extent,
+        voxel_size=grid.voxel_size,
+    )
+
+
+def upsample_candidates(grid: VoxelGrid, out_capacity: int) -> VoxelGrid:
+    """Generative stride-/2 upsample: every parent voxel proposes its 8
+    children (MinkowskiGenerativeConvolutionTranspose coordinate semantics,
+    reference model_vdetr.py:163-176 when woexpand_conv=False)."""
+    gx, gy, gz = grid.extent
+    fine_extent = (gx * 2, gy * 2, gz * 2)
+    offs = jnp.asarray(
+        [[i, j, k] for i in (0, 1) for j in (0, 1) for k in (0, 1)],
+        jnp.int32,
+    )
+
+    def one(coords, valid):
+        cand = (coords[:, None, :] * 2 + offs[None, :, :]).reshape(-1, 3)
+        v = jnp.repeat(valid, 8)
+        keys = jnp.where(v, pack_keys(cand, fine_extent), KEY_SENTINEL)
+
+        def payload(order):
+            return (cand[order],)
+
+        out_keys, (out_coords,), _ = _compact_unique(keys, payload, out_capacity)
+        return out_keys, out_coords, out_keys != KEY_SENTINEL
+
+    keys, coords, valid = jax.vmap(one)(grid.coords, grid.valid)
+    C = grid.features.shape[-1]
+    return VoxelGrid(
+        coords=coords,
+        keys=keys,
+        features=jnp.zeros((coords.shape[0], out_capacity, C),
+                           grid.features.dtype),
+        valid=valid,
+        origin=grid.origin,
+        stride=grid.stride // 2,
+        extent=fine_extent,
+        voxel_size=grid.voxel_size,
+    )
