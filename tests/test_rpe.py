@@ -1,0 +1,46 @@
+"""RPE parity: trilinear_sample vs torch F.grid_sample, log-quantize math."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from vdetr_tpu.ops.rpe import log_quantize, make_coords_table, trilinear_sample
+
+torch = pytest.importorskip("torch")
+
+
+def test_trilinear_matches_torch_grid_sample(rng):
+    n, H = 10, 4
+    table = rng.randn(n, n, n, H).astype(np.float32)
+    pts = (rng.rand(500, 3).astype(np.float32) * 2.4 - 1.2)  # incl. out-of-range
+    got = np.asarray(trilinear_sample(jnp.asarray(table), jnp.asarray(pts)))
+
+    # torch: input (1, H, D, Hh, W) with D,Hh,W = table axes 0,1,2;
+    # grid (1,1,1,P,3) with grid[...,0]->W, 1->Hh, 2->D
+    t = torch.from_numpy(table).permute(3, 0, 1, 2)[None]
+    g = torch.from_numpy(pts).view(1, 1, 1, -1, 3)
+    want = torch.nn.functional.grid_sample(
+        t, g, mode="bilinear", align_corners=False, padding_mode="zeros"
+    )[0, :, 0, 0].T.numpy()  # (P, H)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_log_quantize_properties():
+    d = jnp.asarray([-2.0, -0.1, 0.0, 0.1, 2.0])
+    q = np.asarray(log_quantize(d, 512.0, 4.0))
+    assert q[2] == 0.0
+    assert (np.sign(q) == np.sign(np.asarray(d))).all()
+    assert (np.abs(q[0]) > np.abs(q[1]))
+    # reference formula check at a point
+    want = np.sign(2.0) * np.log2(2.0 * 512 + 1) / np.log2(8) / 4.0
+    np.testing.assert_allclose(q[4], want, rtol=1e-6)
+
+
+def test_coords_table_layout():
+    tbl = np.asarray(make_coords_table(4.0, 10))
+    assert tbl.shape == (1000, 3)
+    # axis order: component 2 varies fastest
+    np.testing.assert_allclose(tbl[0], [-4, -4, -4])
+    np.testing.assert_allclose(tbl[1], [-4, -4, -4 + 8 / 9])
+    np.testing.assert_allclose(tbl[10], [-4, -4 + 8 / 9, -4])
+    np.testing.assert_allclose(tbl[100], [-4 + 8 / 9, -4, -4])

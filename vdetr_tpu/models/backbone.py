@@ -1,0 +1,230 @@
+"""Sparse ResNet backbone + FPN neck (TPU re-expression of the reference
+MinkowskiEngine stack: models/mink_resnet.py and the FPN pieces of
+models/model_vdetr.py:139-193, 248-279).
+
+All modules operate on `VoxelGrid`s; parameters keep the MinkowskiEngine
+kernel layout (K, C_in, C_out) so `scannet_540ep.pth` can port
+weight-for-weight.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from vdetr_tpu.models.norm import MaskedBatchNorm, MaskedInstanceNorm
+from vdetr_tpu.ops.sparse_conv import (
+    sparse_conv,
+    sparse_conv_down,
+    sparse_conv_transpose,
+    sparse_conv_transpose_generative,
+)
+from vdetr_tpu.ops.voxelize import VoxelGrid
+
+_kaiming = nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal")
+
+
+class SparseConv(nn.Module):
+    """Submanifold (stride-1) conv, kernel (k^3, C_in, C_out), no bias
+    (MinkowskiConvolution default)."""
+
+    out_channels: int
+    kernel_size: int = 3
+    compute_dtype = None
+
+    @nn.compact
+    def __call__(self, grid: VoxelGrid) -> VoxelGrid:
+        k3 = self.kernel_size ** 3
+        w = self.param(
+            "kernel", _kaiming,
+            (k3, grid.features.shape[-1], self.out_channels),
+        )
+        return sparse_conv(grid, w, self.kernel_size)
+
+
+class SparseConvDown(nn.Module):
+    """Stride-2 conv (kernel 3, or kernel 1 for the ResNet downsample)."""
+
+    out_channels: int
+    out_capacity: int
+    kernel_size: int = 3
+
+    @nn.compact
+    def __call__(self, grid: VoxelGrid) -> VoxelGrid:
+        k3 = self.kernel_size ** 3
+        w = self.param(
+            "kernel", _kaiming,
+            (k3, grid.features.shape[-1], self.out_channels),
+        )
+        return sparse_conv_down(grid, w, self.out_capacity, self.kernel_size)
+
+
+class SparseConvTranspose(nn.Module):
+    """Kernel-2 stride-2 transpose conv evaluated at the skip grid
+    (plain MinkowskiConvolutionTranspose; woexpand_conv=True default), or
+    generative when `fine_sites is None`."""
+
+    out_channels: int
+    generative_capacity: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, coarse: VoxelGrid,
+                 fine_sites: Optional[VoxelGrid] = None) -> VoxelGrid:
+        w = self.param(
+            "kernel", _kaiming, (8, coarse.features.shape[-1],
+                                 self.out_channels)
+        )
+        if fine_sites is not None:
+            return sparse_conv_transpose(coarse, fine_sites, w)
+        assert self.generative_capacity is not None
+        return sparse_conv_transpose_generative(
+            coarse, w, self.generative_capacity
+        )
+
+
+class SparseBasicBlock(nn.Module):
+    """ResNet BasicBlock on voxels: conv-bn-relu-conv-bn + skip, relu.
+
+    Reference: MinkowskiEngine.modules.resnet_block.BasicBlock as used by
+    models/mink_resnet.py:62-84.
+    """
+
+    planes: int
+    stride: int = 1
+    out_capacity: Optional[int] = None
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, grid: VoxelGrid, train: bool = False) -> VoxelGrid:
+        in_ch = grid.features.shape[-1]
+        if self.stride == 2:
+            out = SparseConvDown(self.planes, self.out_capacity,
+                                 kernel_size=3, name="conv1")(grid)
+        else:
+            out = SparseConv(self.planes, name="conv1")(grid)
+        f = MaskedBatchNorm(self.planes, use_running_average=not train,
+                            axis_name=self.axis_name, name="norm1")(
+            out.features, out.valid
+        )
+        f = nn.relu(f)
+        out2 = SparseConv(self.planes, name="conv2")(out.replace(features=f))
+        f2 = MaskedBatchNorm(self.planes, use_running_average=not train,
+                             axis_name=self.axis_name, name="norm2")(
+            out2.features, out2.valid
+        )
+        if self.stride != 1 or in_ch != self.planes:
+            if self.stride == 2:
+                ds = SparseConvDown(self.planes, self.out_capacity,
+                                    kernel_size=1, name="downsample_conv")(grid)
+            else:
+                ds = SparseConv(self.planes, kernel_size=1,
+                                name="downsample_conv")(grid)
+            skip = MaskedBatchNorm(
+                self.planes, use_running_average=not train,
+                axis_name=self.axis_name, name="downsample_norm"
+            )(ds.features, ds.valid)
+        else:
+            skip = grid.features
+        f = nn.relu(f2 + skip)
+        f = jnp.where(out2.valid[..., None], f, 0.0)
+        return out2.replace(features=f)
+
+
+class SparseResNet(nn.Module):
+    """MinkResNet (reference models/mink_resnet.py:8-102): stem conv k3 s2
+    + norm + relu, then `num_stages` stages of BasicBlocks, each stride 2.
+    Returns all stage outputs.
+    """
+
+    depth: int = 34
+    inplanes: int = 64
+    num_stages: int = 4
+    stem_bn: bool = True
+    stage_capacities: Sequence[int] = (65536, 32768, 16384, 8192, 4096)
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, grid: VoxelGrid, train: bool = False):
+        arch = {18: (2, 2, 2, 2), 34: (3, 4, 6, 3)}
+        if self.depth not in arch:
+            raise KeyError(f"unsupported sparse resnet depth {self.depth}")
+        stage_blocks = arch[self.depth][: self.num_stages]
+
+        x = SparseConvDown(self.inplanes, self.stage_capacities[0],
+                           kernel_size=3, name="conv1")(grid)
+        if self.stem_bn:
+            f = MaskedBatchNorm(self.inplanes, use_running_average=not train,
+                                axis_name=self.axis_name, name="norm1")(
+                x.features, x.valid
+            )
+        else:
+            f = MaskedInstanceNorm(self.inplanes, name="norm1")(
+                x.features, x.valid
+            )
+        x = x.replace(features=nn.relu(f))
+
+        outs = []
+        for i, nblocks in enumerate(stage_blocks):
+            planes = self.inplanes * 2 ** i
+            cap = self.stage_capacities[i + 1]
+            x = SparseBasicBlock(planes, stride=2, out_capacity=cap,
+                                 axis_name=self.axis_name,
+                                 name=f"layer{i + 1}_block0")(x, train)
+            for b in range(1, nblocks):
+                x = SparseBasicBlock(planes, axis_name=self.axis_name,
+                                     name=f"layer{i + 1}_block{b}")(x, train)
+            outs.append(x)
+        return outs
+
+
+class FPNUpBlock(nn.Module):
+    """Transpose conv + BN + ELU + conv k3 + BN + ELU (reference
+    model_vdetr.py:146-176, `_make_up_block`)."""
+
+    out_channels: int
+    woexpand_conv: bool = True
+    generative_capacity: Optional[int] = None
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, coarse: VoxelGrid, fine_sites: Optional[VoxelGrid],
+                 train: bool = False) -> VoxelGrid:
+        if self.woexpand_conv:
+            up = SparseConvTranspose(self.out_channels, name="up_conv")(
+                coarse, fine_sites
+            )
+        else:
+            up = SparseConvTranspose(
+                self.out_channels,
+                generative_capacity=self.generative_capacity,
+                name="up_conv",
+            )(coarse, None)
+        f = MaskedBatchNorm(self.out_channels, use_running_average=not train,
+                            axis_name=self.axis_name, name="up_norm")(
+            up.features, up.valid
+        )
+        up = up.replace(features=nn.elu(f))
+        out = SparseConv(self.out_channels, name="conv")(up)
+        f = MaskedBatchNorm(self.out_channels, use_running_average=not train,
+                            axis_name=self.axis_name, name="norm")(
+            out.features, out.valid
+        )
+        return out.replace(features=nn.elu(f))
+
+
+class FPNOutBlock(nn.Module):
+    """conv k3 + BN + ELU to `enc_dim` (reference model_vdetr.py:139-144)."""
+
+    out_channels: int
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, grid: VoxelGrid, train: bool = False) -> VoxelGrid:
+        out = SparseConv(self.out_channels, name="conv")(grid)
+        f = MaskedBatchNorm(self.out_channels, use_running_average=not train,
+                            axis_name=self.axis_name, name="norm")(
+            out.features, out.valid
+        )
+        return out.replace(features=nn.elu(f))

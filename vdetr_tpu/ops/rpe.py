@@ -1,0 +1,79 @@
+"""Vertex relative-position-encoding utilities.
+
+The core of V-DETR (reference models/vdetr_transformer.py:701-731): for
+each of the 8 box corners of every query, the delta to every key point is
+log-quantized and used to trilinearly sample a small learned bias table
+(one table per corner, produced by a 2-layer MLP over a 10^3 coordinate
+grid). The sum over corners is added to the cross-attention logits.
+
+`trilinear_sample` reproduces torch F.grid_sample(align_corners=False,
+padding_mode='zeros') semantics for a 5D input, including its axis
+convention: sample coordinate component 0 indexes the table's LAST grid
+axis (so the effective bias is mlp([t0, t1, t2]) evaluated at
+t0 <- delta_z, t1 <- delta_y, t2 <- delta_x; a learned reparametrization,
+preserved for checkpoint-port parity).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def log_quantize(delta, log_scale: float, max_value: float):
+    """sign(d) * log2(|d| * log_scale + 1) / log2(8) / max_value
+    (reference vdetr_transformer.py:722-723)."""
+    q = jnp.sign(delta) * jnp.log2(jnp.abs(delta) * log_scale + 1.0) / np.log2(8.0)
+    return q / max_value
+
+
+def make_coords_table(max_value: float, num_points: int):
+    """(num_points^3, 3) grid of linspace(-max, max) triples, axis order
+    (t0 slowest .. t2 fastest) — reference vdetr_transformer.py:677-682."""
+    lin = np.linspace(-max_value, max_value, num_points, dtype=np.float32)
+    g = np.stack(np.meshgrid(lin, lin, lin, indexing="ij"), axis=-1)
+    return jnp.asarray(g.reshape(-1, 3))
+
+
+def trilinear_sample(table, pts):
+    """table: (n, n, n, H) values on the grid; pts: (..., 3) in [-1, 1]
+    (component 0 indexes the LAST table axis, torch grid_sample style).
+    Returns (..., H). Out-of-range cells contribute zero.
+    """
+    n = table.shape[0]
+    H = table.shape[-1]
+    flat_table = table.reshape(-1, H)
+
+    # align_corners=False: continuous index = ((p + 1) * n - 1) / 2
+    def to_idx(p):
+        return ((p + 1.0) * n - 1.0) * 0.5
+
+    # component 0 -> last axis (w), 1 -> middle (h), 2 -> first (d)
+    iw = to_idx(pts[..., 0])
+    ih = to_idx(pts[..., 1])
+    id_ = to_idx(pts[..., 2])
+
+    out = 0.0
+    fw, fh, fd = jnp.floor(iw), jnp.floor(ih), jnp.floor(id_)
+    ww, wh, wd = iw - fw, ih - fh, id_ - fd
+    fw = fw.astype(jnp.int32)
+    fh = fh.astype(jnp.int32)
+    fd = fd.astype(jnp.int32)
+    for dw in (0, 1):
+        for dh in (0, 1):
+            for dd in (0, 1):
+                cw, ch, cd = fw + dw, fh + dh, fd + dd
+                inb = (
+                    (cw >= 0) & (cw < n) & (ch >= 0) & (ch < n)
+                    & (cd >= 0) & (cd < n)
+                )
+                w = (
+                    (ww if dw else 1.0 - ww)
+                    * (wh if dh else 1.0 - wh)
+                    * (wd if dd else 1.0 - wd)
+                )
+                flat_idx = (jnp.clip(cd, 0, n - 1) * n
+                            + jnp.clip(ch, 0, n - 1)) * n + jnp.clip(cw, 0, n - 1)
+                vals = flat_table[flat_idx]  # (..., H)
+                out = out + vals * (w * inb)[..., None]
+    return out
