@@ -1,0 +1,205 @@
+"""Training / evaluation engine.
+
+Reference engine.py rebuilt TPU-first: one jitted `train_step` =
+forward + criterion + grad pmean + clip + AdamW update, executed under
+`shard_map` over the data mesh axis (sync-BN statistics psum inside the
+model; the reference needs DDP + MinkowskiSyncBatchNorm for the same,
+main.py:511-517). The per-iteration LR (reference engine.py:52-56) is a
+schedule inside the optimizer.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import time
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from vdetr_tpu.config import VDETRConfig
+from vdetr_tpu.train.criterion import SetCriterion
+from vdetr_tpu.train.optimizer import build_optimizer
+from vdetr_tpu.train.schedule import make_lr_schedule
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+INPUT_KEYS = ("point_clouds", "point_cloud_dims_min", "point_cloud_dims_max",
+              "point_validity")
+
+
+def _model_inputs(batch):
+    return {k: batch[k] for k in INPUT_KEYS if k in batch}
+
+
+class Trainer:
+    """Owns the jitted train/eval steps for one (model, criterion, mesh)."""
+
+    def __init__(self, cfg: VDETRConfig, model, dataset_config, mesh,
+                 steps_per_epoch: int, axis: str = "data"):
+        self.cfg = cfg
+        self.model = model
+        self.mesh = mesh
+        self.axis = axis
+        self.criterion = SetCriterion(cfg, dataset_config, axis_name=axis)
+        self.lr_schedule = make_lr_schedule(cfg, steps_per_epoch)
+        self.tx = build_optimizer(cfg, self.lr_schedule)
+        self._train_step = self._build_train_step()
+        self._eval_step = self._build_eval_step()
+
+    # ---- state ----
+    def init_state(self, rng, sample_batch) -> TrainState:
+        variables = self.model.init(
+            rng, _model_inputs(sample_batch), train=False
+        )
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        opt_state = self.tx.init(params)
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=opt_state,
+        )
+        return jax.device_put(
+            state, NamedSharding(self.mesh, P())
+        )
+
+    # ---- steps ----
+    def _build_train_step(self):
+        axis = self.axis
+        model, criterion, tx = self.model, self.criterion, self.tx
+
+        def per_device(state: TrainState, batch, rng):
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+
+            def loss_fn(params):
+                out, mutated = model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    _model_inputs(batch), train=True,
+                    rngs={"dropout": rng}, mutable=["batch_stats"],
+                )
+                loss, loss_dict = criterion(out, batch)
+                return loss, (loss_dict, mutated["batch_stats"])
+
+            (loss, (loss_dict, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
+            grads = jax.lax.pmean(grads, axis)
+            loss_red = jax.lax.pmean(loss, axis)
+            loss_dict = jax.tree.map(
+                lambda x: jax.lax.pmean(x, axis), loss_dict
+            )
+            updates, opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+            params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+            new_state = TrainState(
+                step=state.step + 1,
+                params=params,
+                batch_stats=new_stats,
+                opt_state=opt_state,
+            )
+            return new_state, loss_red, loss_dict
+
+        smapped = shard_map(
+            per_device,
+            mesh=self.mesh,
+            in_specs=(P(), P(self.axis), P()),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(smapped)
+
+    def _build_eval_step(self):
+        model = self.model
+        axis = self.axis
+
+        def per_device(state: TrainState, batch):
+            out = model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                _model_inputs(batch), train=False,
+            )
+            final = dict(out["outputs"])
+            if self.cfg.use_focal:
+                final["sem_cls_prob"] = jax.nn.sigmoid(final["sem_cls_prob"])
+            # keep only what the AP calculator consumes
+            keep = {
+                k: final[k] for k in (
+                    "box_corners", "box_corners_axis_align", "sem_cls_prob",
+                    "objectness_prob", "angle_prob", "center_unnormalized",
+                    "size_unnormalized", "angle_continuous",
+                )
+            }
+            return keep
+
+        smapped = shard_map(
+            per_device,
+            mesh=self.mesh,
+            in_specs=(P(), P(self.axis)),
+            out_specs=P(self.axis),
+            check_vma=False,
+        )
+        return jax.jit(smapped)
+
+    def train_step(self, state: TrainState, batch, rng):
+        return self._train_step(state, batch, rng)
+
+    def eval_step(self, state: TrainState, batch):
+        return self._eval_step(state, batch)
+
+    def current_lr(self, state: TrainState) -> float:
+        return float(self.lr_schedule(int(state.step)))
+
+
+def train_one_epoch(trainer: Trainer, state: TrainState, loader, rng,
+                    epoch: int, log_every: int = 10,
+                    logger: Optional[Callable[[str], None]] = print):
+    """Reference engine.py:59-122: iterate, step, finite-guard, log."""
+    losses = []
+    last_dict = None
+    t0 = time.time()
+    for it, batch in enumerate(loader):
+        rng, step_rng = jax.random.split(rng)
+        state, loss, loss_dict = trainer.train_step(state, batch, step_rng)
+        loss_val = float(loss)
+        if not math.isfinite(loss_val):
+            raise FloatingPointError(
+                f"Loss is not finite at epoch {epoch} iter {it}; stopping "
+                "(reference engine.py:100-102 exits here)."
+            )
+        losses.append(loss_val)
+        last_dict = loss_dict
+        if logger and it % log_every == 0:
+            avg = sum(losses[-10:]) / len(losses[-10:])
+            dt = time.time() - t0
+            logger(
+                f"Epoch [{epoch}]; Iter [{it}]; Loss {avg:0.2f}; "
+                f"LR {trainer.current_lr(state):0.2e}; {dt:0.1f}s"
+            )
+    mean_loss = sum(losses) / max(len(losses), 1)
+    return state, mean_loss, last_dict
+
+
+def evaluate(trainer: Trainer, state: TrainState, loader, ap_calculator,
+             log_every: int = 10,
+             logger: Optional[Callable[[str], None]] = print):
+    """Reference engine.py:125-192. Outputs stay device-side until the AP
+    calculator pulls them; no cross-rank gather is needed because a single
+    process sees the whole (sharded) batch."""
+    for it, batch in enumerate(loader):
+        outputs = trainer.eval_step(state, batch)
+        ap_calculator.step(outputs, batch)
+        if logger and it % log_every == 0:
+            logger(f"Evaluate; Batch [{it}]")
+    return ap_calculator
