@@ -63,6 +63,8 @@ def _fps_kernel(xyz_ref, out_ref, temp, mag, coords):
     """One batch row. xyz_ref: (1, 3, N) in VMEM; out_ref: (1, npoint).
 
     temp: (1, N) running min distance; mag: (1, N); coords: (3, N) scratch.
+    Scalar stores to VMEM don't lower on TPU, so index writes are masked
+    full-row vector writes (cheap: one VPU pass over npoint lanes/step).
     """
     n = xyz_ref.shape[2]
     npoint = out_ref.shape[1]
@@ -70,21 +72,28 @@ def _fps_kernel(xyz_ref, out_ref, temp, mag, coords):
     x, y, z = coords[0:1, :], coords[1:2, :], coords[2:3, :]
     mag[:, :] = x * x + y * y + z * z
     temp[:, :] = jnp.full((1, n), _INIT_DIST, jnp.float32)
-    out_ref[0, 0] = 0
+    out_ref[:, :] = jnp.zeros((1, npoint), jnp.int32)
     skip = mag[:, :] <= _SKIP_MAG
+    out_cols = jax.lax.broadcasted_iota(jnp.int32, (1, npoint), 1)
+
+    n_cols = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
 
     def step(j, old):
-        cx = jax.lax.dynamic_slice(coords[:, :], (0, old), (3, 1))
-        d = (
-            (x - cx[0]) * (x - cx[0])
-            + (y - cx[1]) * (y - cx[1])
-            + (z - cx[2]) * (z - cx[2])
-        )
+        # select the current point's coords with a masked reduction
+        # (dynamic_slice on loaded values doesn't lower in Mosaic)
+        sel = (n_cols == old).astype(jnp.float32)
+        cx = jnp.sum(x * sel)
+        cy = jnp.sum(y * sel)
+        cz = jnp.sum(z * sel)
+        d = (x - cx) * (x - cx) + (y - cy) * (y - cy) + (z - cz) * (z - cz)
         d2 = jnp.minimum(d, temp[:, :])
         temp[:, :] = jnp.where(skip, temp[:, :], d2)
         cand = jnp.where(skip, -1.0, d2)
-        new = jnp.argmax(cand[0]).astype(jnp.int32)
-        out_ref[0, j] = new
+        # first-index argmax via two plain reductions (1-D argmax lowers
+        # poorly in Mosaic)
+        best = jnp.max(cand)
+        new = jnp.min(jnp.where(cand == best, n_cols, n)).astype(jnp.int32)
+        out_ref[:, :] = jnp.where(out_cols == j, new, out_ref[:, :])
         return new
 
     jax.lax.fori_loop(1, npoint, step, jnp.int32(0))
