@@ -89,15 +89,44 @@ def eval_det_cls(pred: Dict, gt: Dict, ovthresh: float = 0.25,
     nd = len(image_ids)
     tp = np.zeros(nd)
     fp = np.zeros(nd)
+
+    # Precompute det x gt IoU matrices per image with the native (C++)
+    # rotated-IoU kernel when available (counterpart of the reference's
+    # Cython box_intersection fast path, utils/box_util.py:689-700).
+    iou_mats = {}
+    if get_iou_func is get_iou_obb and nd > 0:
+        from vdetr_tpu.eval import native
+
+        if native.get_lib() is not None:
+            per_img_det = {}
+            for pos, img_id in enumerate(image_ids):
+                per_img_det.setdefault(img_id, []).append(pos)
+            for img_id, positions in per_img_det.items():
+                gts = class_recs[img_id]["bbox"]
+                if len(gts) == 0:
+                    continue
+                dets = np.stack([boxes[p] for p in positions])
+                mat = native.box3d_iou_pairs(dets, np.asarray(gts))
+                iou_mats[img_id] = (
+                    {p: i for i, p in enumerate(positions)}, mat
+                )
+
     for rank, d in enumerate(order):
-        rec = class_recs[image_ids[d]]
-        bb = boxes[d].astype(float)
+        img_id = image_ids[d]
+        rec = class_recs[img_id]
         gts = rec["bbox"].astype(float)
         ovmax, jmax = -np.inf, -1
-        for j in range(len(gts)):
-            iou = get_iou_func(bb, gts[j])
-            if iou > ovmax:
-                ovmax, jmax = iou, j
+        if img_id in iou_mats:
+            pos_map, mat = iou_mats[img_id]
+            row = mat[pos_map[d]]
+            jmax = int(np.argmax(row))
+            ovmax = float(row[jmax]) if len(row) else -np.inf
+        else:
+            bb = boxes[d].astype(float)
+            for j in range(len(gts)):
+                iou = get_iou_func(bb, gts[j])
+                if iou > ovmax:
+                    ovmax, jmax = iou, j
         if ovmax > ovthresh and not rec["det"][jmax]:
             tp[rank] = 1.0
             rec["det"][jmax] = True
