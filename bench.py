@@ -49,14 +49,21 @@ def main():
         iters = 3
 
     rng = np.random.RandomState(0)
-    pts = rng.rand(batch, N, 3).astype(np.float32) * np.array(
-        [6.0, 5.0, 2.8], np.float32
-    )
-    inputs = {
-        "point_clouds": jnp.asarray(pts),
-        "point_cloud_dims_min": jnp.asarray(pts.min(1)),
-        "point_cloud_dims_max": jnp.asarray(pts.max(1)),
-    }
+
+    def make_inputs():
+        pts = rng.rand(batch, N, 3).astype(np.float32) * np.array(
+            [6.0, 5.0, 2.8], np.float32
+        )
+        return {
+            "point_clouds": jnp.asarray(pts),
+            "point_cloud_dims_min": jnp.asarray(pts.min(1)),
+            "point_cloud_dims_max": jnp.asarray(pts.max(1)),
+        }
+
+    # distinct inputs per step: guards against any runtime-level caching /
+    # dedup of identical executions
+    input_sets = None
+    inputs = make_inputs()
     model = build_model(cfg, ScannetDatasetConfig())
     t0 = time.time()
     variables = model.init(jax.random.PRNGKey(0), inputs, train=False)
@@ -65,10 +72,14 @@ def main():
     jax.block_until_ready(out)
     compile_s = time.time() - t0
 
+    input_sets = [make_inputs() for _ in range(4)]
+    for i in input_sets:
+        jax.block_until_ready(fwd(variables, i))  # warm transfer paths
     t0 = time.time()
-    for _ in range(iters):
-        out = fwd(variables, inputs)
-    jax.block_until_ready(out)
+    outs = []
+    for it in range(iters):
+        outs.append(fwd(variables, input_sets[it % 4]))
+    jax.block_until_ready(outs)
     dt = (time.time() - t0) / iters
     scenes_per_sec = batch / dt
 

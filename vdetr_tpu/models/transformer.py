@@ -244,13 +244,20 @@ class GlobalShareCrossAttention(nn.Module):
         q = q.reshape(B, nQ, H, hd) * (hd ** -0.5)
 
         attn = jnp.einsum("bqhd,bkd->bhqk", q, k)
-        for i in range(8):
-            deltas = reference_point[:, :, None, i, :] - key_xyz[:, None, :, :]
+
+        # scan over the 8 corners (8x smaller graph than unrolling; the
+        # RPE bias accumulates in place)
+        def corner_step(acc, inp):
+            corner, table = inp  # (B, nQ, 3), (n, n, n, H)
+            deltas = corner[:, :, None, :] - key_xyz[:, None, :, :]
             if self.angle_type == "object_coords":
                 deltas = self._object_frame(deltas, reference_angle)
             d = log_quantize(deltas, self.log_scale, max_value)
-            bias = trilinear_sample(tables[i], d)  # (B, nQ, nK, H)
-            attn = attn + bias.transpose(0, 3, 1, 2)
+            bias = trilinear_sample(table, d)  # (B, nQ, nK, H)
+            return acc + bias.transpose(0, 3, 1, 2), None
+
+        corners_first = jnp.moveaxis(reference_point, 2, 0)  # (8, B, nQ, 3)
+        attn, _ = jax.lax.scan(corner_step, attn, (corners_first, tables))
         if key_valid is not None:
             attn = jnp.where(key_valid[:, None, None, :], attn, -1e9)
         attn = jax.nn.softmax(attn, axis=-1)
