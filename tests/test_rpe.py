@@ -44,3 +44,23 @@ def test_coords_table_layout():
     np.testing.assert_allclose(tbl[1], [-4, -4, -4 + 8 / 9])
     np.testing.assert_allclose(tbl[10], [-4, -4 + 8 / 9, -4])
     np.testing.assert_allclose(tbl[100], [-4 + 8 / 9, -4, -4])
+
+
+def test_object_frame_rotation_equivalence(rng):
+    """The world-frame (x,y)-rotation used in the attention scan must equal
+    the reference's flip->roty->flip chain (vdetr_transformer.py:712-720)."""
+    d = rng.randn(50, 3).astype(np.float64)
+    ang = rng.rand() * 2 * np.pi - np.pi
+
+    # reference chain: world -> camera (x, -z, y), @ roty(ang), camera -> world
+    cam = np.stack([d[:, 0], -d[:, 2], d[:, 1]], 1)
+    c, s = np.cos(ang), np.sin(ang)
+    R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+    cam2 = cam @ R
+    world = np.stack([cam2[:, 0], cam2[:, 2], -cam2[:, 1]], 1)
+
+    # our direct form: rotz(+ang) on (x, y), z unchanged
+    got = np.stack(
+        [d[:, 0] * c - d[:, 1] * s, d[:, 0] * s + d[:, 1] * c, d[:, 2]], 1
+    )
+    np.testing.assert_allclose(got, world, atol=1e-12)

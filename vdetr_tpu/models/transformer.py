@@ -29,7 +29,8 @@ from vdetr_tpu.geometry.boxes import (
     roty_batch,
 )
 from vdetr_tpu.models.mlp import GenericMLP, PositionEmbeddingLearned
-from vdetr_tpu.ops.rpe import log_quantize, make_coords_table, trilinear_sample
+from vdetr_tpu.ops.rpe import (log_quantize, make_coords_table,
+    trilinear_sample, trilinear_sample_split)
 
 xavier_uniform = nn.initializers.xavier_uniform()
 
@@ -246,14 +247,29 @@ class GlobalShareCrossAttention(nn.Module):
         attn = jnp.einsum("bqhd,bkd->bhqk", q, k)
 
         # scan over the 8 corners (8x smaller graph than unrolling; the
-        # RPE bias accumulates in place)
+        # RPE bias accumulates in place). All per-pair intermediates are
+        # kept as separate (B, nQ, nK) component arrays: a trailing
+        # size-3 axis would pad to a 128-lane tile and blow HBM.
+        kx = key_xyz[:, None, :, 0]
+        ky = key_xyz[:, None, :, 1]
+        kz = key_xyz[:, None, :, 2]
+
         def corner_step(acc, inp):
             corner, table = inp  # (B, nQ, 3), (n, n, n, H)
-            deltas = corner[:, :, None, :] - key_xyz[:, None, :, :]
+            dx = corner[:, :, 0:1] - kx
+            dy = corner[:, :, 1:2] - ky
+            dz = corner[:, :, 2:3] - kz
             if self.angle_type == "object_coords":
-                deltas = self._object_frame(deltas, reference_angle)
-            d = log_quantize(deltas, self.log_scale, max_value)
-            bias = trilinear_sample(table, d)  # (B, nQ, nK, H)
+                # world -> object frame: only x/y mix under the z-rotation
+                # (equivalent to reference vdetr_transformer.py:712-720:
+                # cam roty(angle) == world rotz(-angle))
+                co = jnp.cos(reference_angle)[..., None]
+                si = jnp.sin(reference_angle)[..., None]
+                dx, dy = dx * co - dy * si, dx * si + dy * co
+            d0 = log_quantize(dx, self.log_scale, max_value)
+            d1 = log_quantize(dy, self.log_scale, max_value)
+            d2 = log_quantize(dz, self.log_scale, max_value)
+            bias = trilinear_sample_split(table, d0, d1, d2)
             return acc + bias.transpose(0, 3, 1, 2), None
 
         corners_first = jnp.moveaxis(reference_point, 2, 0)  # (8, B, nQ, 3)

@@ -40,6 +40,17 @@ def trilinear_sample(table, pts):
     (component 0 indexes the LAST table axis, torch grid_sample style).
     Returns (..., H). Out-of-range cells contribute zero.
     """
+    return trilinear_sample_split(
+        table, pts[..., 0], pts[..., 1], pts[..., 2]
+    )
+
+
+def trilinear_sample_split(table, p0, p1, p2):
+    """Same as trilinear_sample but with the three sample-coordinate
+    components as separate arrays — on TPU a trailing size-3 axis pads to
+    a full 128 lane tile, so the hot path must never materialize (..., 3)
+    tensors.
+    """
     n = table.shape[0]
     H = table.shape[-1]
     flat_table = table.reshape(-1, H)
@@ -49,9 +60,9 @@ def trilinear_sample(table, pts):
         return ((p + 1.0) * n - 1.0) * 0.5
 
     # component 0 -> last axis (w), 1 -> middle (h), 2 -> first (d)
-    iw = to_idx(pts[..., 0])
-    ih = to_idx(pts[..., 1])
-    id_ = to_idx(pts[..., 2])
+    iw = to_idx(p0)
+    ih = to_idx(p1)
+    id_ = to_idx(p2)
 
     out = 0.0
     fw, fh, fd = jnp.floor(iw), jnp.floor(ih), jnp.floor(id_)
