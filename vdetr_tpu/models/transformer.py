@@ -269,8 +269,9 @@ class GlobalShareCrossAttention(nn.Module):
             d0 = log_quantize(dx, self.log_scale, max_value)
             d1 = log_quantize(dy, self.log_scale, max_value)
             d2 = log_quantize(dz, self.log_scale, max_value)
-            bias = trilinear_sample_split(table, d0, d1, d2)
-            return acc + bias.transpose(0, 3, 1, 2), None
+            bias = trilinear_sample_split(table, d0, d1, d2,
+                                          heads_first=True)  # (H, B, nQ, nK)
+            return acc + bias.transpose(1, 0, 2, 3), None
 
         corners_first = jnp.moveaxis(reference_point, 2, 0)  # (8, B, nQ, 3)
         attn, _ = jax.lax.scan(corner_step, attn, (corners_first, tables))

@@ -45,15 +45,20 @@ def trilinear_sample(table, pts):
     )
 
 
-def trilinear_sample_split(table, p0, p1, p2):
+def trilinear_sample_split(table, p0, p1, p2, heads_first: bool = False):
     """Same as trilinear_sample but with the three sample-coordinate
-    components as separate arrays — on TPU a trailing size-3 axis pads to
-    a full 128 lane tile, so the hot path must never materialize (..., 3)
-    tensors.
+    components as separate arrays, and per-head gathers from a 1-D
+    flattened table. On TPU, tensors with a tiny trailing axis (3 sample
+    components, H=4 heads) pad that axis to a 128-lane tile — a gather
+    producing (..., H) costs 32x its real size in HBM — so the hot path
+    only ever materializes (...,)-shaped per-head arrays.
+
+    Returns (..., H), or (H, ...) when heads_first.
     """
     n = table.shape[0]
     H = table.shape[-1]
-    flat_table = table.reshape(-1, H)
+    # (H, n^3) then fully flat so each head gathers from a vector
+    flat_table = jnp.moveaxis(table.reshape(-1, H), -1, 0).reshape(-1)
 
     # align_corners=False: continuous index = ((p + 1) * n - 1) / 2
     def to_idx(p):
@@ -64,12 +69,12 @@ def trilinear_sample_split(table, p0, p1, p2):
     ih = to_idx(p1)
     id_ = to_idx(p2)
 
-    out = 0.0
     fw, fh, fd = jnp.floor(iw), jnp.floor(ih), jnp.floor(id_)
     ww, wh, wd = iw - fw, ih - fh, id_ - fd
     fw = fw.astype(jnp.int32)
     fh = fh.astype(jnp.int32)
     fd = fd.astype(jnp.int32)
+    out = [0.0] * H
     for dw in (0, 1):
         for dh in (0, 1):
             for dd in (0, 1):
@@ -82,9 +87,11 @@ def trilinear_sample_split(table, p0, p1, p2):
                     (ww if dw else 1.0 - ww)
                     * (wh if dh else 1.0 - wh)
                     * (wd if dd else 1.0 - wd)
-                )
+                ) * inb
                 flat_idx = (jnp.clip(cd, 0, n - 1) * n
                             + jnp.clip(ch, 0, n - 1)) * n + jnp.clip(cw, 0, n - 1)
-                vals = flat_table[flat_idx]  # (..., H)
-                out = out + vals * (w * inb)[..., None]
-    return out
+                for h in range(H):
+                    vals = flat_table[flat_idx + h * (n ** 3)]
+                    out[h] = out[h] + vals * w
+    stacked = jnp.stack(out, axis=0)  # (H, ...)
+    return stacked if heads_first else jnp.moveaxis(stacked, 0, -1)
