@@ -28,6 +28,17 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent compilation cache: full-model XLA compiles take ~10 min
+    # over the axon remote-compile tunnel; cache them across runs
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               "/root/.cache/jax_comp")
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
     from vdetr_tpu.config import VDETRConfig
     from vdetr_tpu.data import ScannetDatasetConfig
     from vdetr_tpu.models import build_model

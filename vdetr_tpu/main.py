@@ -168,7 +168,8 @@ def main(argv: Optional[list] = None):
                                  shuffle=True, seed=cfg.seed + epoch)
         )
         state, mean_loss, loss_dict = train_one_epoch(
-            trainer, state, loader, erng, epoch, log_every=cfg.log_every
+            trainer, state, loader, erng, epoch, log_every=cfg.log_every,
+            profile_dir=cfg.profile_dir,
         )
         if cfg.checkpoint_dir:
             ckpt_io.save_checkpoint(cfg.checkpoint_dir, state, cfg, epoch,

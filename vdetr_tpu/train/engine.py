@@ -164,12 +164,19 @@ class Trainer:
 
 def train_one_epoch(trainer: Trainer, state: TrainState, loader, rng,
                     epoch: int, log_every: int = 10,
-                    logger: Optional[Callable[[str], None]] = print):
-    """Reference engine.py:59-122: iterate, step, finite-guard, log."""
+                    logger: Optional[Callable[[str], None]] = print,
+                    profile_dir: Optional[str] = None):
+    """Reference engine.py:59-122: iterate, step, finite-guard, log.
+    profile_dir: capture a jax.profiler trace of iterations 2-4 of the
+    first epoch (the reference has no tracing at all, SURVEY.md §5)."""
     losses = []
     last_dict = None
     t0 = time.time()
     for it, batch in enumerate(loader):
+        if profile_dir and epoch == 0 and it == 2:
+            jax.profiler.start_trace(profile_dir)
+        if profile_dir and epoch == 0 and it == 5:
+            jax.profiler.stop_trace()
         rng, step_rng = jax.random.split(rng)
         state, loss, loss_dict = trainer.train_step(state, batch, step_rng)
         loss_val = float(loss)
