@@ -159,6 +159,9 @@ def main(argv: Optional[list] = None):
             cfg.checkpoint_dir, state
         )
         start_epoch = last_epoch + 1
+    from vdetr_tpu.utils.logging import MetricsLogger
+
+    mlogger = MetricsLogger(cfg.checkpoint_dir, run_name="train")
     rng = jax.random.PRNGKey(cfg.seed)
     for epoch in range(start_epoch, cfg.max_epoch):
         rng, erng = jax.random.split(rng)
@@ -174,6 +177,8 @@ def main(argv: Optional[list] = None):
         if cfg.checkpoint_dir:
             ckpt_io.save_checkpoint(cfg.checkpoint_dir, state, cfg, epoch,
                                     best)
+        mlogger.log({"loss": mean_loss, **(loss_dict or {})}, epoch,
+                    prefix="train/")
         is_eval_epoch = (
             epoch % cfg.eval_every_epoch == 0
             or epoch == cfg.max_epoch - 1
@@ -181,6 +186,11 @@ def main(argv: Optional[list] = None):
         )
         if is_eval_epoch:
             _, overall = eval_pass(state)
+            mlogger.log(
+                {f"mAP_{t}": overall[t]["mAP"] for t in overall}
+                | {f"AR_{t}": overall[t]["AR"] for t in overall},
+                epoch, prefix="val/",
+            )
             cur = overall[0.25]["mAP"]
             if cur > best.get("mAP_0.25", -1):
                 best = {"mAP_0.25": float(cur),

@@ -274,7 +274,10 @@ class GlobalShareCrossAttention(nn.Module):
             return acc + bias.transpose(1, 0, 2, 3), None
 
         corners_first = jnp.moveaxis(reference_point, 2, 0)  # (8, B, nQ, 3)
-        attn, _ = jax.lax.scan(corner_step, attn, (corners_first, tables))
+        # remat the per-corner bias: its backward would otherwise store
+        # gather indices for every (layer, corner, cell) — tens of GB
+        attn, _ = jax.lax.scan(jax.checkpoint(corner_step), attn,
+                               (corners_first, tables))
         if key_valid is not None:
             attn = jnp.where(key_valid[:, None, None, :], attn, -1e9)
         attn = jax.nn.softmax(attn, axis=-1)
@@ -456,7 +459,10 @@ class TransformerDecoder(nn.Module):
                 c.dec_dim, axis_name=self.axis_name,
                 name=f"query_pos_projection{idx}",
             )(query_ref, train)
-            output = GlobalDecoderLayer(
+            # rematerialized layer: backward recomputes attention instead
+            # of keeping the (B, H, nQ, nK) tensors of all layers alive
+            layer_cls = nn.remat(GlobalDecoderLayer, static_argnums=(8,))
+            output = layer_cls(
                 c, axis_name=self.axis_name, name=f"layer{idx}"
             )(output, enc_features, reference_point, reference_angle,
               enc_xyz, query_pos, enc_valid, train)
