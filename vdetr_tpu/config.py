@@ -145,6 +145,12 @@ class VDETRConfig:
     use_cls_confidence_only: bool = False
     test_size: bool = False
 
+    # ---- wandb (reference main.py:210-214; optional, zero-egress safe) ----
+    wandb_activate: bool = False
+    wandb_entity: Optional[str] = None
+    wandb_project: str = "vdetr"
+    wandb_key: str = ""
+
     # ---- I/O (reference main.py:200-204) ----
     checkpoint_dir: Optional[str] = None
     log_every: int = 10
@@ -160,7 +166,7 @@ class VDETRConfig:
     stage_capacity_divisor: int = 2   # per-downsample capacity shrink factor
     min_stage_capacity: int = 2048
     grid_extent: Tuple[int, int, int] = (2048, 2048, 512)  # int32-packable
-    fps_impl: str = "pallas"          # "pallas" | "jax"
+    fps_impl: str = "auto"            # "auto" | "pallas" | "jax"
     rpe_impl: str = "fused"           # "fused" (pallas) | "materialized"
     compute_dtype: str = "float32"    # "float32" | "bfloat16" matmul dtype
     mesh_shape: Tuple[int, ...] = (-1,)  # -1 = all devices on 'data'

@@ -162,6 +162,17 @@ def main(argv: Optional[list] = None):
     from vdetr_tpu.utils.logging import MetricsLogger
 
     mlogger = MetricsLogger(cfg.checkpoint_dir, run_name="train")
+    wandb = None
+    if cfg.wandb_activate:
+        try:  # optional; this environment is zero-egress
+            import wandb as _wandb
+
+            run_name = os.path.basename(cfg.checkpoint_dir or "run")
+            _wandb.init(project=cfg.wandb_project, entity=cfg.wandb_entity,
+                        name=run_name, id=run_name)
+            wandb = _wandb
+        except Exception as e:
+            print(f"wandb unavailable ({e}); logging to JSONL only")
     rng = jax.random.PRNGKey(cfg.seed)
     for epoch in range(start_epoch, cfg.max_epoch):
         rng, erng = jax.random.split(rng)
@@ -177,8 +188,18 @@ def main(argv: Optional[list] = None):
         if cfg.checkpoint_dir:
             ckpt_io.save_checkpoint(cfg.checkpoint_dir, state, cfg, epoch,
                                     best)
+            # numbered snapshots in the last tenth of training
+            # (reference main.py:319-332)
+            if (cfg.save_separate_checkpoint_every_epoch > 0
+                    and epoch >= cfg.max_epoch * 0.9
+                    and epoch % cfg.save_separate_checkpoint_every_epoch == 0):
+                ckpt_io.save_checkpoint(cfg.checkpoint_dir, state, cfg,
+                                        epoch, best,
+                                        filename=f"checkpoint_{epoch:04d}")
         mlogger.log({"loss": mean_loss, **(loss_dict or {})}, epoch,
                     prefix="train/")
+        if wandb is not None:
+            wandb.log({"train/loss": float(mean_loss)}, step=epoch)
         is_eval_epoch = (
             epoch % cfg.eval_every_epoch == 0
             or epoch == cfg.max_epoch - 1
