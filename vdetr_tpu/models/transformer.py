@@ -24,9 +24,6 @@ from vdetr_tpu.config import VDETRConfig
 from vdetr_tpu.geometry.boxes import (
     box_parametrization_to_corners,
     convert_corners_camera2lidar,
-    flip_axis_to_camera,
-    flip_axis_to_depth,
-    roty_batch,
 )
 from vdetr_tpu.models.mlp import GenericMLP, PositionEmbeddingLearned
 from vdetr_tpu.ops.rpe import (log_quantize, make_coords_table,
@@ -221,14 +218,6 @@ class GlobalShareCrossAttention(nn.Module):
             tables.append(t.reshape(num_points, num_points, num_points,
                                     self.num_heads))
         return jnp.stack(tables), max_value
-
-    def _object_frame(self, deltas, reference_angle):
-        """Rotate world-frame deltas into the box frame
-        (reference vdetr_transformer.py:712-720)."""
-        cam = flip_axis_to_camera(deltas)
-        R = roty_batch(reference_angle)  # (B, nQ, 3, 3)
-        cam = jnp.einsum("bqkj,bqji->bqki", cam, R)
-        return flip_axis_to_depth(cam)
 
     @nn.compact
     def __call__(self, query, key, reference_point, reference_angle, key_xyz,

@@ -108,7 +108,7 @@ class SetCriterion:
         }
 
     # ---- matcher (reference criterion.py:101-228) ----
-    def match(self, outputs, targets):
+    def build_cost(self, outputs, targets):
         c = self.cfg
         gt_labels = targets["gt_box_sem_cls_label"]  # (B, K)
         B, nprop = outputs["objectness_prob"].shape
@@ -166,14 +166,24 @@ class SetCriterion:
         # pad invalid GT columns so they never win
         kmask = jnp.arange(K)[None, :] < targets["nactual_gt"][:, None]
         cost = jnp.where(kmask[:, None, :], cost, 1e6)
+        return cost
+
+    @staticmethod
+    def solve_costs(cost, nactual):
+        """cost: (B, nprop, K); nactual: (B,). One batched LAP."""
+        B, nprop, K = cost.shape
         # assign each valid GT (row) a distinct proposal (col); if there are
         # more GT slots than proposals, pad with dummy proposal columns
         costT = jnp.swapaxes(cost, 1, 2)
         if K > nprop:
             pad = jnp.full((B, K, K - nprop), 1e6, costT.dtype)
             costT = jnp.concatenate([costT, pad], axis=2)
-        col4row = hungarian(costT, targets["nactual_gt"])
+        col4row = hungarian(costT, nactual)
+        return SetCriterion.assignment_from_col4row(col4row, nprop)
 
+    @staticmethod
+    def assignment_from_col4row(col4row, nprop):
+        B, K = col4row.shape
         gt_ids = jnp.arange(K, dtype=jnp.int32)[None, :]
         valid = (col4row >= 0) & (col4row < nprop)
         scatter_idx = jnp.where(valid, col4row, nprop)  # overflow slot
@@ -189,6 +199,10 @@ class SetCriterion:
             "per_prop_gt_inds": per_prop_gt_inds[:, :nprop],
             "proposal_matched_mask": matched[:, :nprop],
         }
+
+    def match(self, outputs, targets):
+        cost = self.build_cost(outputs, targets)
+        return self.solve_costs(cost, targets["nactual_gt"])
 
     # ---- per-output losses (reference criterion.py:334-530) ----
     def _losses(self, outputs, targets, assignments, num_boxes, has_boxes):
@@ -265,7 +279,9 @@ class SetCriterion:
         )
         return losses
 
-    def single_output_forward(self, outputs, targets, num_boxes, has_boxes):
+    def prepare_output(self, outputs, targets):
+        """Attach gious / center / size cost tensors
+        (reference criterion.py:620-645)."""
         c = self.cfg
         if c.iou_type in ("diou", "iou"):
             gt = jnp.concatenate(
@@ -313,8 +329,10 @@ class SetCriterion:
         outputs["size_reg_dist"] = jnp.abs(
             outputs["size_reg"][:, :, None, :] - gt_size_reg
         ).sum(-1)
+        return outputs
 
-        assignments = self.match(outputs, targets)
+    def compute_losses(self, outputs, targets, assignments, num_boxes,
+                       has_boxes):
         losses = self._losses(outputs, targets, assignments, num_boxes,
                               has_boxes)
         total = jnp.zeros((), jnp.float32)
@@ -323,6 +341,12 @@ class SetCriterion:
                 losses[k] = losses[k] * w
                 total = total + losses[k]
         return total, losses
+
+    def single_output_forward(self, outputs, targets, num_boxes, has_boxes):
+        outputs = self.prepare_output(outputs, targets)
+        assignments = self.match(outputs, targets)
+        return self.compute_losses(outputs, targets, assignments, num_boxes,
+                                   has_boxes)
 
     # ---- encoder point-cls loss (reference criterion.py:273-332) ----
     def loss_point_cls(self, enc_outputs, targets, num_boxes, has_boxes):
@@ -378,26 +402,54 @@ class SetCriterion:
         else:
             targets_rep = targets
 
-        loss, loss_dict = self.single_output_forward(
-            outputs["outputs"], targets_rep, num_boxes, has_boxes
-        )
-
+        # Prepare every output (final + aux) and batch the Hungarian solves
+        # by cost-matrix shape: one LAP while-loop nest per shape group
+        # instead of one per decoder layer (the batched while_loop advances
+        # all problems in lockstep on device).
+        jobs = [("final", outputs["outputs"], targets_rep)]
         for k, aux in enumerate(outputs.get("aux_outputs", [])):
             if k == 0 and c.is_bilable:
                 bin_targets = dict(targets)
                 bin_targets["gt_box_sem_cls_label"] = jnp.zeros_like(
                     targets["gt_box_sem_cls_label"]
                 )
-                interm_loss, interm = self.single_output_forward(
-                    aux, bin_targets, num_boxes, has_boxes
-                )
+                jobs.append((f"aux{k}", aux, bin_targets))
             else:
-                interm_loss, interm = self.single_output_forward(
-                    aux, targets_rep, num_boxes, has_boxes
+                jobs.append((f"aux{k}", aux, targets_rep))
+
+        prepared = []
+        by_shape = {}
+        for i, (tag, out, tgt) in enumerate(jobs):
+            out = self.prepare_output(out, tgt)
+            cost = self.build_cost(out, tgt)
+            prepared.append((tag, out, tgt))
+            by_shape.setdefault(cost.shape[1:], []).append(
+                (i, cost, tgt["nactual_gt"])
+            )
+        assignments = [None] * len(jobs)
+        for (nprop, K), items in by_shape.items():
+            costs = jnp.concatenate([cst for _, cst, _ in items], axis=0)
+            nacts = jnp.concatenate([n for _, _, n in items], axis=0)
+            assign = self.solve_costs(costs, nacts)
+            B = items[0][1].shape[0]
+            for j, (i, _, _) in enumerate(items):
+                assignments[i] = jax.tree.map(
+                    lambda x: x[j * B:(j + 1) * B], assign
                 )
-            loss = loss + interm_loss
-            for kk, vv in interm.items():
-                loss_dict[f"{kk}_{k}"] = vv
+
+        loss = jnp.zeros((), jnp.float32)
+        loss_dict = {}
+        for i, (tag, out, tgt) in enumerate(prepared):
+            part_loss, part = self.compute_losses(
+                out, tgt, assignments[i], num_boxes, has_boxes
+            )
+            loss = loss + part_loss
+            if tag == "final":
+                loss_dict.update(part)
+            else:
+                k = tag[3:]
+                for kk, vv in part.items():
+                    loss_dict[f"{kk}_{k}"] = vv
 
         if "enc_outputs" in outputs:
             enc = dict(outputs["enc_outputs"])
