@@ -18,6 +18,8 @@ from typing import Any, Callable, Dict, Optional, Tuple
 import flax.struct
 import jax
 import jax.numpy as jnp
+
+from jax.errors import JaxRuntimeError
 from jax.sharding import NamedSharding, PartitionSpec as P
 from jax import shard_map
 
@@ -37,6 +39,26 @@ class TrainState:
 
 INPUT_KEYS = ("point_clouds", "point_cloud_dims_min", "point_cloud_dims_max",
               "point_validity")
+
+
+def _retry_device_errors(fn, retries: int):
+    """Re-dispatch on transient accelerator failures (the reference's only
+    failure behavior is sys.exit on non-finite loss, engine.py:100-102;
+    remote-attached TPUs additionally surface transient UNAVAILABLE device
+    errors that a re-dispatch survives)."""
+    for attempt in range(retries + 1):
+        try:
+            out = fn()
+            jax.block_until_ready(out)
+            return out
+        except JaxRuntimeError as e:
+            transient = "UNAVAILABLE" in str(e)
+            if not transient or attempt == retries:
+                raise
+            wait = 15.0 * (attempt + 1)
+            print(f"transient device error ({str(e).splitlines()[0][:100]}); "
+                  f"retry {attempt + 1}/{retries} in {wait:.0f}s")
+            time.sleep(wait)
 
 
 def _model_inputs(batch):
@@ -152,11 +174,15 @@ class Trainer:
         )
         return jax.jit(smapped)
 
-    def train_step(self, state: TrainState, batch, rng):
-        return self._train_step(state, batch, rng)
+    def train_step(self, state: TrainState, batch, rng, retries: int = 2):
+        return _retry_device_errors(
+            lambda: self._train_step(state, batch, rng), retries
+        )
 
-    def eval_step(self, state: TrainState, batch):
-        return self._eval_step(state, batch)
+    def eval_step(self, state: TrainState, batch, retries: int = 2):
+        return _retry_device_errors(
+            lambda: self._eval_step(state, batch), retries
+        )
 
     def current_lr(self, state: TrainState) -> float:
         return float(self.lr_schedule(int(state.step)))
