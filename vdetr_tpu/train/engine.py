@@ -19,7 +19,6 @@ import flax.struct
 import jax
 import jax.numpy as jnp
 
-from jax.errors import JaxRuntimeError
 from jax.sharding import NamedSharding, PartitionSpec as P
 from jax import shard_map
 
@@ -51,7 +50,9 @@ def _retry_device_errors(fn, retries: int):
             out = fn()
             jax.block_until_ready(out)
             return out
-        except JaxRuntimeError as e:
+        except Exception as e:  # noqa: BLE001 - match on message; the
+            # runtime surfaces transient faults as JaxRuntimeError OR
+            # ValueError depending on the call path
             transient = "UNAVAILABLE" in str(e)
             if not transient or attempt == retries:
                 raise
