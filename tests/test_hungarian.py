@@ -60,3 +60,29 @@ def test_negative_costs(rng):
     cost = (rng.randn(9, 20) * 10 - 5).astype(np.float32)
     out = np.asarray(hungarian(jnp.asarray(cost[None]), jnp.asarray([9])))[0]
     check_optimal(cost, out, 9)
+
+
+def test_auction_matches_optimum(rng):
+    from vdetr_tpu.ops.hungarian import auction
+
+    for n, m in [(8, 20), (40, 150)]:
+        cost = (rng.randn(1, n, m) * 3).astype(np.float32)
+        out = np.asarray(auction(jnp.asarray(cost), jnp.asarray([n])))[0]
+        assert (out >= 0).all() and len(set(out.tolist())) == n
+        r, c = linear_sum_assignment(cost[0])
+        got = cost[0][np.arange(n), out].sum()
+        np.testing.assert_allclose(got, cost[0][r, c].sum(), atol=1e-3)
+
+
+def test_auction_duplicated_rows_near_optimal(rng):
+    """The repeat_num=5 matcher regime: every GT row appears 5x."""
+    from vdetr_tpu.ops.hungarian import auction
+
+    base = (rng.randn(12, 64) * 2).astype(np.float32)
+    cost = np.tile(base, (5, 1))[None]
+    out = np.asarray(auction(jnp.asarray(cost), jnp.asarray([60])))[0]
+    assert (out >= 0).all() and len(set(out.tolist())) == 60
+    r, c = linear_sum_assignment(cost[0])
+    got = cost[0][np.arange(60), out].sum()
+    opt = cost[0][r, c].sum()
+    assert got - opt < 0.05 * abs(opt) / 10, (got, opt)

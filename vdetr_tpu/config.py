@@ -168,6 +168,8 @@ class VDETRConfig:
     grid_extent: Tuple[int, int, int] = (2048, 2048, 512)  # int32-packable
     fps_impl: str = "auto"            # "auto" | "pallas" | "jax"
     rpe_impl: str = "fused"           # "fused" (pallas) | "materialized"
+    matcher_impl: str = "auction"     # "auction" (eps-optimal, fast on TPU)
+                                      # | "jv" (exact Jonker-Volgenant)
     compute_dtype: str = "float32"    # "float32" | "bfloat16" matmul dtype
     mesh_shape: Tuple[int, ...] = (-1,)  # -1 = all devices on 'data'
     mesh_axis_names: Tuple[str, ...] = ("data",)

@@ -114,3 +114,84 @@ def hungarian(cost, n_valid):
     """
     assert cost.shape[1] <= cost.shape[2], "need rows <= cols; transpose"
     return jax.vmap(_solve_single)(cost.astype(jnp.float32), n_valid)
+
+
+# --------------------------------------------------------------------------
+# Auction assignment: the TPU-native solver
+# --------------------------------------------------------------------------
+
+def _auction_single(cost, n_valid, eps_frac=0.002, max_iters=3000):
+    """Forward-auction assignment (Bertsekas), Jacobi variant.
+
+    The Jonker-Volgenant solver above is exact but its Dijkstra inner
+    while-loop advances one scanned column per serial iteration — on TPU
+    that is ~200k latency-bound steps for a (320, 1024) problem with
+    structured costs (5.3 s per train step measured on v5e). The auction
+    algorithm instead lets ALL unassigned rows bid simultaneously: every
+    iteration is one fully vectorized (n, m) pass, and convergence takes
+    2-3 iterations on well-separated costs, ~100 for 5x-duplicated GT
+    rows, ~1500 in pathological all-tied cases. The result satisfies
+    eps-complementary slackness: total cost within n*eps of the optimum
+    (eps = eps_frac * cost spread; measured gaps <= 0.06% on adversarial
+    inputs, 0 on typical ones).
+
+    cost: (n, m) float32, rows assigned to distinct columns, minimize.
+    Returns col4row (n,) int32, -1 for rows >= n_valid (and, after
+    max_iters, for any row still unassigned — callers mask by it).
+    """
+    n, m = cost.shape
+    values = -cost  # maximize
+    row_ids = jnp.arange(n, dtype=jnp.int32)
+    col_ids = jnp.arange(m, dtype=jnp.int32)
+    row_valid = row_ids < n_valid
+    spread = jnp.maximum(values.max() - values.min(), 1e-3)
+    eps = eps_frac * spread
+
+    def cond(state):
+        col4row, prices, it = state
+        return (row_valid & (col4row < 0)).any() & (it < max_iters)
+
+    def body(state):
+        col4row, prices, it = state
+        unassigned = row_valid & (col4row < 0)
+        net = values - prices[None, :]
+        j1 = jnp.argmax(net, axis=1).astype(jnp.int32)
+        v1 = jnp.take_along_axis(net, j1[:, None], axis=1)[:, 0]
+        net2 = net.at[row_ids, j1].set(-jnp.inf)
+        v2 = net2.max(axis=1)
+        v2 = jnp.where(jnp.isfinite(v2), v2, v1 - eps)
+        bid = prices[j1] + (v1 - v2) + eps
+        bid = jnp.where(unassigned, bid, -jnp.inf)
+        col_best = jnp.full((m,), -jnp.inf).at[j1].max(bid, mode="drop")
+        maybe_won = unassigned & (bid >= col_best[j1])
+        # deterministic tie-break: lowest row id among equal best bids
+        winner = jnp.full((m,), n, jnp.int32).at[j1].min(
+            jnp.where(maybe_won, row_ids, n), mode="drop"
+        )
+        won = maybe_won & (winner[j1] == row_ids)
+        has_winner = winner < n
+        # evict rows holding a column that was just won by another row
+        held = jnp.clip(col4row, 0, m - 1)
+        evicted = (
+            (col4row >= 0)
+            & has_winner[held]
+            & (winner[held] != row_ids)
+        )
+        col4row = jnp.where(evicted, -1, col4row)
+        col4row = jnp.where(won, j1, col4row)
+        prices = jnp.where(has_winner, col_best, prices)
+        return col4row, prices, it + 1
+
+    col4row, prices, _ = jax.lax.while_loop(
+        cond, body, (jnp.full((n,), -1, jnp.int32), jnp.zeros((m,)),
+                     jnp.int32(0))
+    )
+    return jnp.where(row_valid, col4row, -1)
+
+
+def auction(cost, n_valid, **kw):
+    """Batched eps-optimal LAP; same interface as `hungarian` but rows may
+    exceed columns (leftover rows stay -1)."""
+    return jax.vmap(lambda c, n: _auction_single(c, n, **kw))(
+        cost.astype(jnp.float32), n_valid
+    )

@@ -27,7 +27,7 @@ from vdetr_tpu.geometry.iou import (
     generalized_box3d_iou,
 )
 from vdetr_tpu.geometry.points_in_boxes import points_in_boxes_all
-from vdetr_tpu.ops.hungarian import hungarian
+from vdetr_tpu.ops.hungarian import auction, hungarian
 
 
 def huber_loss(error, delta: float = 1.0):
@@ -168,8 +168,7 @@ class SetCriterion:
         cost = jnp.where(kmask[:, None, :], cost, 1e6)
         return cost
 
-    @staticmethod
-    def solve_costs(cost, nactual):
+    def solve_costs(self, cost, nactual):
         """cost: (B, nprop, K); nactual: (B,). One batched LAP."""
         B, nprop, K = cost.shape
         # assign each valid GT (row) a distinct proposal (col); if there are
@@ -178,7 +177,10 @@ class SetCriterion:
         if K > nprop:
             pad = jnp.full((B, K, K - nprop), 1e6, costT.dtype)
             costT = jnp.concatenate([costT, pad], axis=2)
-        col4row = hungarian(costT, nactual)
+        if self.cfg.matcher_impl == "auction":
+            col4row = auction(costT, nactual)
+        else:
+            col4row = hungarian(costT, nactual)
         return SetCriterion.assignment_from_col4row(col4row, nprop)
 
     @staticmethod
