@@ -241,6 +241,31 @@ def test_full_criterion_with_model_outputs(rng):
         assert np.isfinite(np.asarray(v)).all(), k
 
 
+def test_num_boxes_per_job_normalization(rng):
+    """Reference criterion.py:612-616 recomputes num_boxes AFTER GT
+    repetition: jobs matched against repeated GT divide by repeat*N while
+    the un-repeated bilable aux0 and enc point-cls divide by N."""
+    cfg = VDETRConfig(repeat_num=5, is_bilable=True)
+    ds = ScannetDatasetConfig()
+    crit = build_criterion(cfg, ds)
+    recorded = []
+    orig = crit.compute_losses
+
+    def spy(out, tgt, assignments, num_boxes, has_boxes):
+        recorded.append(float(num_boxes))
+        return orig(out, tgt, assignments, num_boxes, has_boxes)
+
+    crit.compute_losses = spy
+    targets = make_targets(rng)  # 3 + 5 = 8 boxes
+    outputs = {
+        "outputs": make_outputs(rng),
+        "aux_outputs": [make_outputs(rng, ncls=1), make_outputs(rng)],
+    }
+    crit(outputs, targets)
+    # jobs: final (repeated), aux0 (bilable, un-repeated), aux1 (repeated)
+    assert recorded == [40.0, 8.0, 40.0]
+
+
 def test_no_gt_boxes_zero_loss(rng):
     cfg = VDETRConfig(repeat_num=0)
     crit = build_criterion(cfg, ScannetDatasetConfig())

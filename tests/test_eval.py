@@ -115,6 +115,71 @@ def test_ap_calculator_end_to_end_perfect(rng):
     assert "chair Average Precision" in s
 
 
+def test_pad_last_loader_scores_all_scans(rng):
+    """A val set of size global_batch*k + r (r>0) must score every scan
+    (the round-1 drop_last loader silently dropped the tail)."""
+    from vdetr_tpu.data.synthetic import SyntheticDetectionDataset, make_loader
+
+    ds = ScannetDatasetConfig()
+    data = SyntheticDetectionDataset(ds, num_points=512, num_scenes=11,
+                                     max_objects=3)
+    calc = APCalculator(
+        ds, ap_iou_thresh=[0.25],
+        ap_config_dict=get_ap_config_dict(dataset_config=ds,
+                                          remove_empty_box=False),
+        processes=1,
+    )
+    n_batches = 0
+    for batch in make_loader(data, batch_size=4, shuffle=False,
+                             pad_last=True):
+        B, K = 4, 8
+        assert batch["point_clouds"].shape[0] == B  # static shape for jit
+        outputs = {
+            "box_corners": batch["gt_box_corners"][:, :K].astype(np.float32),
+            "sem_cls_prob": np.full((B, K, 18), 0.5, np.float32),
+            "objectness_prob": np.full((B, K), 0.9, np.float32),
+            "angle_prob": np.zeros((B, K), np.float32),
+            "center_unnormalized": batch["gt_box_centers"][:, :K],
+            "size_unnormalized": batch["gt_box_sizes"][:, :K],
+            "angle_continuous": np.zeros((B, K), np.float32),
+        }
+        calc.step(outputs, batch)
+        n_batches += 1
+    assert n_batches == 3
+    assert calc.scan_cnt == 11  # all scans, no duplicates from padding
+
+
+def test_rotated_nms_parse_predictions(rng):
+    """--rotated_nms must suppress rotated duplicates that axis-aligned
+    NMS would keep (the reference flag is a broken debug stub)."""
+    from vdetr_tpu.eval.ap_calculator import parse_predictions
+
+    ds = ScannetDatasetConfig()
+    center = np.array([[1.0, 1.0, 0.5]])
+    size = np.array([[2.0, 0.4, 1.0]])
+    # same box at 0 and ~90 degrees: rotated IoU is small (~0.2 thin cross),
+    # two copies at angle 0 overlap exactly
+    c0 = ds.box_parametrization_to_corners_np(center, size, np.zeros(1))[0]
+    c90 = ds.box_parametrization_to_corners_np(center, size,
+                                               np.array([np.pi / 2]))[0]
+    corners = np.stack([c0, c0, c90])[None].astype(np.float32)
+    probs = np.full((1, 3, 18), 0.1, np.float32)
+    probs[:, :, 2] = 0.9
+    cfgd = get_ap_config_dict(dataset_config=ds, remove_empty_box=False,
+                              rotated_nms=True, per_class_proposal=False)
+    out = parse_predictions(
+        corners, probs, np.array([[0.9, 0.8, 0.7]], np.float32),
+        np.zeros((1, 3), np.float32), np.zeros((1, 10, 3), np.float32),
+        cfgd,
+    )
+    kept = out[0]
+    # duplicate at angle 0 suppressed; the 90-degree box survives (IoU below
+    # 0.25 with the kept box under TRUE rotated IoU)
+    assert len(kept) == 2
+    scores = sorted(s for (_, _, s) in kept)
+    np.testing.assert_allclose(scores, [0.7, 0.9])  # obj_prob of the keeps
+
+
 def test_ap_calculator_wrong_classes_zero_ap(rng):
     ds = ScannetDatasetConfig()
     n = 3

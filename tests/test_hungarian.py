@@ -74,6 +74,32 @@ def test_auction_matches_optimum(rng):
         np.testing.assert_allclose(got, cost[0][r, c].sum(), atol=1e-3)
 
 
+def test_auction_sentinel_padded_training_regime(rng):
+    """The matrix shape solve_costs actually feeds the matcher in training:
+    repeat_num=5 duplicated GT rows compacted to the front, invalid rows
+    padded with 1e6 sentinels. eps must come from the genuine cost spread,
+    not the 1e6 sentinel spread (ADVICE.md round-1 medium finding)."""
+    from vdetr_tpu.ops.hungarian import auction
+
+    n_gt, repeat, slots, nprop = 6, 5, 40, 64
+    base = (rng.randn(n_gt, nprop) * 2).astype(np.float32)
+    cost = np.full((slots, nprop), 1e6, np.float32)
+    n_valid = n_gt * repeat
+    cost[:n_valid] = np.tile(base, (repeat, 1))
+    out = np.asarray(auction(jnp.asarray(cost[None]),
+                             jnp.asarray([n_valid])))[0]
+    got_cols = out[:n_valid]
+    assert (got_cols >= 0).all()
+    assert len(set(got_cols.tolist())) == n_valid
+    assert (out[n_valid:] == -1).all()
+    r, c = linear_sum_assignment(cost[:n_valid])
+    got = cost[np.arange(n_valid), got_cols].sum()
+    opt = cost[r, c].sum()
+    spread = base.max() - base.min()
+    # eps-complementary-slackness bound with eps from the GENUINE spread
+    assert got - opt <= n_valid * 0.002 * spread + 1e-3, (got, opt)
+
+
 def test_auction_duplicated_rows_near_optimal(rng):
     """The repeat_num=5 matcher regime: every GT row appears 5x."""
     from vdetr_tpu.ops.hungarian import auction

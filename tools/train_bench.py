@@ -1,0 +1,107 @@
+"""Full-size train-step benchmark on the real chip (VERDICT round-1 #1).
+
+Runs the published architecture (100k pts, 131k voxel capacity, ResNet34,
+9-layer decoder, 1024 queries, repeat_num=5 matcher) through the real
+Trainer train_step on synthetic scenes, measures steps/sec and checks the
+loss is finite and decreasing over the measured window.
+
+Usage: python tools/train_bench.py [steps]   (default 12)
+Writes one JSON line to stdout (plus progress on stderr).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main(steps: int = 12):
+    import jax
+    import jax.numpy as jnp
+
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               "/root/.cache/jax_comp")
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+    from vdetr_tpu.config import VDETRConfig
+    from vdetr_tpu.data import ScannetDatasetConfig
+    from vdetr_tpu.data.synthetic import SyntheticDetectionDataset, collate
+    from vdetr_tpu.models import build_model
+    from vdetr_tpu.parallel import make_mesh
+    from vdetr_tpu.train.engine import Trainer
+
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    if on_tpu:
+        cfg = VDETRConfig()
+    else:
+        cfg = VDETRConfig(
+            voxel_capacity=8192, min_stage_capacity=256,
+            grid_extent=(512, 512, 256), preenc_npoints=512, nqueries=256,
+            dec_nlayers=3, inplanes=16, fps_impl="jax", num_points=20000,
+        )
+        steps = min(steps, 3)
+    ds = ScannetDatasetConfig()
+    mesh = make_mesh(("data",), (1,), devices=jax.devices()[:1])
+    model = build_model(cfg, ds, axis_name="data")
+    data = SyntheticDetectionDataset(ds, num_points=cfg.num_points,
+                                     num_scenes=max(steps + 4, 16),
+                                     max_objects=12)
+    batches = []
+    for i in range(4):
+        b = collate([data[i]])
+        batches.append({k: jnp.asarray(v) for k, v in b.items()})
+
+    trainer = Trainer(cfg, model, ds, mesh, steps_per_epoch=100)
+    print("init...", file=sys.stderr, flush=True)
+    t0 = time.time()
+    state = trainer.init_state(jax.random.PRNGKey(0), batches[0])
+    print(f"init {time.time()-t0:.1f}s; compiling train step...",
+          file=sys.stderr, flush=True)
+    t0 = time.time()
+    rng = jax.random.PRNGKey(1)
+    state, loss, _ = trainer.train_step(state, batches[0], rng, retries=0)
+    first = float(loss)
+    compile_s = time.time() - t0
+    print(f"compile+step0 {compile_s:.1f}s loss={first:.3f}",
+          file=sys.stderr, flush=True)
+
+    losses = [first]
+    t0 = time.time()
+    for it in range(steps):
+        rng, srng = jax.random.split(rng)
+        state, loss, _ = trainer.train_step(
+            state, batches[it % len(batches)], srng, retries=0
+        )
+        losses.append(float(loss))  # sync each step: honest step time
+        print(f"step {it}: loss={losses[-1]:.3f}", file=sys.stderr,
+              flush=True)
+    dt = (time.time() - t0) / steps
+    finite = all(np.isfinite(losses))
+    decreasing = losses[-1] < losses[0]
+
+    print(json.dumps({
+        "metric": "scannet_train_step_throughput",
+        "value": round(1.0 / dt, 3),
+        "unit": "scenes/sec/chip",
+        "detail": {
+            "backend": jax.default_backend(),
+            "num_points": cfg.num_points,
+            "step_ms": round(dt * 1000, 2),
+            "compile_s": round(compile_s, 1),
+            "loss_first": round(losses[0], 3),
+            "loss_last": round(losses[-1], 3),
+            "loss_finite": finite,
+            "loss_decreasing": decreasing,
+        },
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 12)

@@ -144,6 +144,9 @@ class VDETRConfig:
     no_per_class_proposal: bool = False
     use_cls_confidence_only: bool = False
     test_size: bool = False
+    tta: bool = False               # flip-ensemble test-time augmentation
+                                    # (reference README.md:93 claims it but
+                                    # never shipped the code; see eval/tta.py)
 
     # ---- wandb (reference main.py:210-214; optional, zero-egress safe) ----
     wandb_activate: bool = False
@@ -222,11 +225,56 @@ class VDETRConfig:
     def replace(self, **kw) -> "VDETRConfig":
         return dataclasses.replace(self, **kw)
 
+    def validate(self) -> "VDETRConfig":
+        """Reject non-default values of fields that cannot take effect.
+
+        A config that silently ignores a flag is worse than one that
+        refuses it. The fields below are dead or broken in the reference
+        itself, so no behavior exists to reproduce:
+        - nsemcls: parsed but never read (reference main.py:97 only);
+        - no_first_repeat: parsed but never read anywhere;
+        - mlp_sep=False: reference indexes self.mlp_heads[idx] with an int,
+          which a ModuleDict rejects (vdetr_transformer.py:225-234, 261) —
+          the shared-heads path crashes there;
+        - minkowski=False: no non-sparse backbone is reachable.
+        """
+        if self.nsemcls != -1:
+            raise ValueError(
+                "nsemcls is dead in the reference (parsed, never read); "
+                "the class count always comes from the dataset config"
+            )
+        if not self.no_first_repeat:
+            raise ValueError(
+                "no_first_repeat is dead in the reference (parsed, never "
+                "read); only the default True is supported"
+            )
+        if not self.mlp_sep:
+            raise ValueError(
+                "mlp_sep=False is broken in the reference (ModuleDict "
+                "indexed by int, vdetr_transformer.py:261); only separate "
+                "per-layer heads are supported"
+            )
+        if not self.minkowski:
+            raise NotImplementedError(
+                "minkowski=False (non-sparse backbone) is not implemented; "
+                "the sparse voxel backbone is the only shipped path"
+            )
+        if self.rpe_impl not in ("fused", "materialized"):
+            raise ValueError(f"unknown rpe_impl {self.rpe_impl!r}")
+        if self.compute_dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"unknown compute_dtype {self.compute_dtype!r}")
+        if self.matcher_impl not in ("auction", "jv"):
+            raise ValueError(f"unknown matcher_impl {self.matcher_impl!r}")
+        if self.fps_impl not in ("auto", "pallas", "jax"):
+            raise ValueError(f"unknown fps_impl {self.fps_impl!r}")
+        return self
+
 
 # Keys restored from CLI (not the checkpoint) during --auto_test
 # (reference main.py:218-233).
 AUTO_TEST_IGNORE_KEYS = [
     "test_only", "auto_test", "test_no_nms", "no_3d_nms", "rotated_nms",
+    "tta",
     "nms_iou", "empty_pt_thre", "conf_thresh", "test_ckpt", "angle_nms",
     "angle_conf", "use_old_type_nms", "no_cls_nms", "filt_empty",
     "no_per_class_proposal", "use_cls_confidence_only", "test_size",

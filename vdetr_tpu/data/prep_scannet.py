@@ -8,6 +8,9 @@ For each scan, reads the raw ScanNet release files
 ids via `scannetv2-labels.combined.tsv`, and writes:
 
   <scan>_vert.npy       (N, 6) xyz + rgb
+  <scan>_normals.npy    (N, 3) area-weighted vertex normals (the reference
+                        recomputes these from the raw ply at every load
+                        when --use_normals, datasets/scannet.py:394-430)
   <scan>_sem_label.npy  (N,)   nyu40 semantic id per vertex
   <scan>_ins_label.npy  (N,)   1-based instance id (0 = unannotated)
   <scan>_bbox.npy       (K, 7) cx cy cz dx dy dz nyu40id, axis-aligned
@@ -45,7 +48,7 @@ def read_label_mapping(tsv_path: str, label_from="raw_category",
     return mapping
 
 
-def read_mesh_vertices_rgb(ply_path: str) -> np.ndarray:
+def read_mesh_vertices_rgb(ply_path: str, return_faces: bool = False):
     from plyfile import PlyData
 
     with open(ply_path, "rb") as f:
@@ -54,7 +57,28 @@ def read_mesh_vertices_rgb(ply_path: str) -> np.ndarray:
     out = np.stack(
         [v["x"], v["y"], v["z"], v["red"], v["green"], v["blue"]], axis=1
     ).astype(np.float32)
+    if return_faces:
+        faces = np.vstack(ply["face"].data["vertex_indices"]).astype(np.int64)
+        return out, faces
     return out
+
+
+def vertex_normals(verts: np.ndarray, faces: np.ndarray) -> np.ndarray:
+    """Area-weighted vertex normals (reference datasets/scannet.py:397-430
+    face_normal/vertex_normal, computed there lazily at load time from the
+    raw ply; exported offline here)."""
+    v01 = verts[faces[:, 1], :3] - verts[faces[:, 0], :3]
+    v02 = verts[faces[:, 2], :3] - verts[faces[:, 0], :3]
+    vec = np.cross(v01, v02)
+    length = np.sqrt((vec ** 2).sum(1, keepdims=True)) + 1e-8
+    nf = vec / length           # unit face normal
+    area = length * 0.5
+    weighted = nf * area        # reference weights by face area
+    out = np.zeros((verts.shape[0], 3), np.float64)
+    for k in range(3):
+        np.add.at(out, faces[:, k], weighted)
+    norm = np.sqrt((out ** 2).sum(1, keepdims=True)) + 1e-8
+    return (out / norm).astype(np.float32)
 
 
 def export_scan(scan_dir: str, scan_name: str, label_map: Dict[str, int]):
@@ -65,7 +89,7 @@ def export_scan(scan_dir: str, scan_name: str, label_map: Dict[str, int]):
     )
     meta_file = os.path.join(scan_dir, scan_name + ".txt")
 
-    verts = read_mesh_vertices_rgb(mesh_file)
+    verts, faces = read_mesh_vertices_rgb(mesh_file, return_faces=True)
 
     # axis alignment from the meta file
     axis_align = np.eye(4)
@@ -78,6 +102,9 @@ def export_scan(scan_dir: str, scan_name: str, label_map: Dict[str, int]):
     pts = np.ones((verts.shape[0], 4))
     pts[:, :3] = verts[:, :3]
     verts[:, :3] = (pts @ axis_align.T)[:, :3]
+    # normals from the aligned mesh (alignment is rigid, so this equals
+    # aligning raw-mesh normals)
+    normals = vertex_normals(verts, faces)
 
     with open(seg_file) as f:
         seg_to_vert: Dict[int, list] = {}
@@ -111,7 +138,7 @@ def export_scan(scan_dir: str, scan_name: str, label_map: Dict[str, int]):
             instance_boxes.append(np.concatenate([center, size, [nyu40]]))
     boxes = (np.stack(instance_boxes) if instance_boxes
              else np.zeros((0, 7)))
-    return verts, sem_label, ins_label, boxes.astype(np.float32)
+    return verts, normals, sem_label, ins_label, boxes.astype(np.float32)
 
 
 def main():
@@ -133,11 +160,13 @@ def main():
         if os.path.exists(out_prefix + "_bbox.npy"):
             continue
         try:
-            verts, sem, ins, boxes = export_scan(scan_dir, scan, label_map)
+            verts, normals, sem, ins, boxes = export_scan(scan_dir, scan,
+                                                          label_map)
         except FileNotFoundError as e:
             print(f"skip {scan}: {e}")
             continue
         np.save(out_prefix + "_vert.npy", verts)
+        np.save(out_prefix + "_normals.npy", normals)
         np.save(out_prefix + "_sem_label.npy", sem)
         np.save(out_prefix + "_ins_label.npy", ins)
         np.save(out_prefix + "_bbox.npy", boxes)

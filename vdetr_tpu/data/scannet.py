@@ -147,6 +147,17 @@ class ScannetDetectionDataset:
         else:
             pc = verts[:, 0:3].copy()
 
+        if cfg.use_normals:
+            # precomputed by prep_scannet (the reference recomputes them
+            # from the raw ply on every load, datasets/scannet.py:394-457)
+            npath = os.path.join(self.data_path, scan) + "_normals.npy"
+            if not os.path.isfile(npath):
+                raise FileNotFoundError(
+                    f"use_normals=True but {npath} is missing; re-run "
+                    "vdetr_tpu.data.prep_scannet to export normals"
+                )
+            pc = np.concatenate([pc, np.load(npath)], axis=1)
+
         point_valid = None
         if self.augment:
             if self.use_random_cuboid:
@@ -176,16 +187,27 @@ class ScannetDetectionDataset:
         target_mask[:nb] = 1
         target_bboxes[:nb] = bboxes[:nb, 0:6]
 
+        # normals occupy the trailing 3 columns and must co-transform with
+        # the coordinates (the reference leaves them untouched under flips
+        # and rotations, datasets/scannet.py:514-542 — a latent bug; fixed
+        # here and documented)
+        nrm = slice(pc.shape[1] - 3, pc.shape[1]) if cfg.use_normals else None
         if self.augment:
             if rng.rand() > 0.5:  # YZ flip
                 pc[:, 0] = -pc[:, 0]
                 target_bboxes[:, 0] = -target_bboxes[:, 0]
+                if nrm:
+                    pc[:, nrm.start] = -pc[:, nrm.start]
             if rng.rand() > 0.5:  # XZ flip
                 pc[:, 1] = -pc[:, 1]
                 target_bboxes[:, 1] = -target_bboxes[:, 1]
+                if nrm:
+                    pc[:, nrm.start + 1] = -pc[:, nrm.start + 1]
             rot = ((rng.rand() * np.pi / 18) - np.pi / 36) * cfg.rot_ratio / 5.0
             mat = rotz(rot)
             pc[:, 0:3] = pc[:, 0:3] @ mat.T
+            if nrm:
+                pc[:, nrm] = pc[:, nrm] @ mat.T
             target_bboxes = rotate_aligned_boxes_np(target_bboxes, mat)
             if cfg.trans_ratio > 0:
                 t = (rng.rand(3) - 0.5) * cfg.trans_ratio / 0.5

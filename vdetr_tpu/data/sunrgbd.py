@@ -73,6 +73,18 @@ class SunrgbdDetectionDataset:
             pc[:, 0:3] *= s
             centers *= s
             sizes *= s
+            if cfg.coloraug_sunrgbd and cfg.use_color:
+                # brightness / shift / per-point jitter / 30% color dropout
+                # on centered [-0.5, 0.5] colors (reference
+                # datasets/scannet.py:544-560)
+                rgb = pc[:, 3:6]
+                rgb += 0.5
+                rgb *= 1 + 0.4 * rng.random_sample(3) - 0.2
+                rgb += 0.1 * rng.random_sample(3) - 0.05
+                rgb += (0.05 * rng.random_sample(len(pc)) - 0.025)[:, None]
+                rgb[:] = np.clip(rgb, 0, 1)
+                rgb *= (rng.random_sample(len(pc)) > 0.3)[:, None]
+                rgb -= 0.5
         angles = np.mod(angles + np.pi, 2 * np.pi) - np.pi
 
         pc, _ = random_sampling(pc, cfg.num_points, rng, return_choices=True)

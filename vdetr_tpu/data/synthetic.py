@@ -139,10 +139,29 @@ def collate(samples) -> Dict[str, np.ndarray]:
 
 
 def make_loader(dataset, batch_size: int, shuffle: bool = True,
-                seed: int = 0, drop_last: bool = True) -> Iterator:
+                seed: int = 0, drop_last: bool = True,
+                pad_last: bool = False) -> Iterator:
+    """pad_last=True keeps shapes static for jit without dropping tail
+    scans: the final partial batch is padded by repeating its last sample
+    and every batch carries a per-sample `sample_valid` mask (the reference
+    evaluates every scan at bs=1, engine.py:125-192; dropping the tail
+    would bias mAP whenever len(val) % global_batch != 0)."""
     idx = np.arange(len(dataset))
     if shuffle:
         np.random.RandomState(seed).shuffle(idx)
+    if pad_last:
+        drop_last = False
     end = len(idx) - (len(idx) % batch_size) if drop_last else len(idx)
     for i in range(0, end, batch_size):
-        yield collate([dataset[j] for j in idx[i:i + batch_size]])
+        take = idx[i:i + batch_size]
+        nvalid = len(take)
+        if pad_last and nvalid < batch_size:
+            take = np.concatenate(
+                [take, np.full(batch_size - nvalid, take[-1])]
+            )
+        batch = collate([dataset[j] for j in take])
+        if pad_last:
+            valid = np.zeros(batch_size, bool)
+            valid[:nvalid] = True
+            batch["sample_valid"] = valid
+        yield batch

@@ -38,8 +38,10 @@ def get_ap_config_dict(
     empty_pt_thre=5,
     angle_nms=False,
     angle_conf=False,
+    rotated_nms=False,
 ):
     return {
+        "rotated_nms": rotated_nms,
         "remove_empty_box": remove_empty_box,
         "use_3d_nms": use_3d_nms,
         "nms_iou": nms_iou,
@@ -73,6 +75,7 @@ def config_dict_from_cfg(cfg, dataset_config):
         cls_nms=not cfg.no_cls_nms,
         per_class_proposal=not cfg.no_per_class_proposal,
         use_cls_confidence_only=cfg.use_cls_confidence_only,
+        rotated_nms=cfg.rotated_nms,
     )
 
 
@@ -128,7 +131,22 @@ def parse_predictions(predicted_boxes, sem_cls_probs, objectness_probs,
         b[:, 5] = corners[i, :, :, 2].max(-1)
         return b
 
-    if config_dict.get("no_nms"):
+    if config_dict.get("rotated_nms"):
+        # true oriented-box NMS (the reference flag selects a debug stub,
+        # utils/ap_calculator.py:113-114; see nms_3d_rotated_samecls_np)
+        from vdetr_tpu.geometry.nms import nms_3d_rotated_samecls_np
+
+        pred_mask = np.zeros((bsize, K))
+        for i in range(bsize):
+            keep_ids = np.where(nonempty[i] == 1)[0]
+            score = (obj_prob[i] * angle_probs[i]
+                     if config_dict["angle_nms"] else obj_prob[i])
+            pick = nms_3d_rotated_samecls_np(
+                corners[i, keep_ids], score[keep_ids],
+                pred_sem_cls[i, keep_ids], config_dict["nms_iou"],
+            )
+            pred_mask[i, keep_ids[pick]] = 1
+    elif config_dict.get("no_nms"):
         pred_mask = nonempty
     elif not config_dict["use_3d_nms"]:
         pred_mask = np.zeros((bsize, K))
@@ -205,7 +223,7 @@ class APCalculator:
 
     def __init__(self, dataset_config, ap_iou_thresh=(0.25, 0.5),
                  class2type_map=None, ap_config_dict=None,
-                 axis_align_test: bool = False, processes: int = 1):
+                 axis_align_test: bool = False, processes: int = 10):
         self.ap_iou_thresh = list(ap_iou_thresh)
         self.ap_config_dict = ap_config_dict or get_ap_config_dict(
             dataset_config=dataset_config
@@ -254,7 +272,14 @@ class APCalculator:
             np.asarray(targets["gt_box_sem_cls_label"]),
             np.asarray(targets["gt_box_present"]),
         )
-        for pred, gt in zip(batch_pred, batch_gt):
+        # skip pad samples from a pad_last loader (the reference never pads:
+        # it evaluates every scan at bs=1, engine.py:125-192)
+        valid = targets.get("sample_valid")
+        valid = (np.asarray(valid) if valid is not None
+                 else np.ones(len(batch_pred), bool))
+        for ok, pred, gt in zip(valid, batch_pred, batch_gt):
+            if not ok:
+                continue
             self.pred_map_cls[self.scan_cnt] = pred
             self.gt_map_cls[self.scan_cnt] = gt
             self.scan_cnt += 1

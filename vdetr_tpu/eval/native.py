@@ -33,12 +33,21 @@ def _build() -> bool:
         return False
 
 
+def _stale() -> bool:
+    """A prebuilt .so must never silently outlive the committed source."""
+    src = os.path.join(_CSRC, "box_iou.cpp")
+    try:
+        return os.path.getmtime(_LIB_PATH) < os.path.getmtime(src)
+    except OSError:
+        return True
+
+
 def get_lib() -> Optional[ctypes.CDLL]:
     global _lib, _tried
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.isfile(_LIB_PATH) and not _build():
+    if (not os.path.isfile(_LIB_PATH) or _stale()) and not _build():
         return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)

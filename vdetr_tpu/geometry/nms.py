@@ -84,6 +84,36 @@ def nms_3d_faster_samecls_np(boxes, overlap_threshold, old_type=False):
     return pick
 
 
+def nms_3d_rotated_samecls_np(corners, scores, classes, overlap_threshold):
+    """Class-aware greedy NMS with exact rotated 3D IoU.
+
+    corners (n, 8, 3); scores (n,); classes (n,). Same greedy pick order as
+    nms_3d_faster_samecls_np but overlaps are true oriented-box IoUs instead
+    of axis-aligned-bound IoUs. The reference's --rotated_nms flag selects a
+    debug stub that prints corners and crashes (utils/ap_calculator.py:113-114
+    leaves pred_mask unbound); this is the working equivalent.
+    """
+    from vdetr_tpu.eval.native import box3d_iou_pairs  # lazy: C++ fast path
+    from vdetr_tpu.geometry.iou import box3d_iou_np
+
+    n = len(scores)
+    mat = box3d_iou_pairs(corners, corners)
+    if mat is None:
+        mat = np.zeros((n, n), np.float32)
+        for i in range(n):
+            for j in range(i + 1, n):
+                mat[i, j] = mat[j, i] = box3d_iou_np(corners[i], corners[j])[0]
+    order = np.argsort(scores)
+    pick = []
+    while order.size:
+        i = order[-1]
+        pick.append(i)
+        rest = order[:-1]
+        o = mat[i, rest] * (classes[i] == classes[rest])
+        order = rest[o <= overlap_threshold]
+    return pick
+
+
 def nms_3d_samecls_mask(aabbs, scores, classes, valid, iou_threshold,
                         old_type: bool = False):
     """Device-side class-aware greedy 3D NMS.

@@ -98,7 +98,7 @@ def main(argv: Optional[list] = None):
 
     np.random.seed(cfg.seed)
 
-    from vdetr_tpu.data.synthetic import make_loader
+    from vdetr_tpu.data.loader import prefetch_loader
     from vdetr_tpu.models import build_model
     from vdetr_tpu.parallel import make_mesh
     from vdetr_tpu.train.engine import Trainer, train_one_epoch, evaluate
@@ -130,10 +130,21 @@ def main(argv: Optional[list] = None):
             ap_config_dict=config_dict_from_cfg(cfg, ds_cfg),
             axis_align_test=cfg.axis_align_test,
         )
-        loader = make_loader(datasets["test"], global_batch, shuffle=False)
+        # pad_last: every val scan is scored (the reference evaluates all
+        # scans at bs=1, engine.py:125-192; dropping the tail biases mAP)
+        loader = prefetch_loader(datasets["test"], global_batch,
+                                 shuffle=False, pad_last=True,
+                                 num_workers=cfg.dataset_num_workers)
+        to_device = lambda b: {k: jnp.asarray(v) for k, v in b.items()}
         for batch in loader:
-            batch = {k: jnp.asarray(v) for k, v in batch.items()}
-            out = trainer.eval_step(state, batch)
+            batch = to_device(batch)
+            if cfg.tta:
+                from vdetr_tpu.eval.tta import tta_eval_step
+
+                out = tta_eval_step(trainer.eval_step, state, batch,
+                                    to_device=to_device)
+            else:
+                out = trainer.eval_step(state, batch)
             calc.step(out, batch)
         overall = calc.compute_metrics()
         print(calc.metrics_to_str(overall))
@@ -167,6 +178,8 @@ def main(argv: Optional[list] = None):
         try:  # optional; this environment is zero-egress
             import wandb as _wandb
 
+            if cfg.wandb_key:  # reference main.py:560
+                _wandb.login(key=cfg.wandb_key)
             run_name = os.path.basename(cfg.checkpoint_dir or "run")
             _wandb.init(project=cfg.wandb_project, entity=cfg.wandb_entity,
                         name=run_name, id=run_name)
@@ -178,12 +191,14 @@ def main(argv: Optional[list] = None):
         rng, erng = jax.random.split(rng)
         loader = (
             {k: jnp.asarray(v) for k, v in b.items()}
-            for b in make_loader(datasets["train"], global_batch,
-                                 shuffle=True, seed=cfg.seed + epoch)
+            for b in prefetch_loader(datasets["train"], global_batch,
+                                     shuffle=True, seed=cfg.seed + epoch,
+                                     num_workers=cfg.dataset_num_workers)
         )
         state, mean_loss, loss_dict = train_one_epoch(
             trainer, state, loader, erng, epoch, log_every=cfg.log_every,
-            profile_dir=cfg.profile_dir,
+            profile_dir=cfg.profile_dir, metrics_logger=mlogger,
+            log_metrics_every=cfg.log_metrics_every,
         )
         if cfg.checkpoint_dir:
             ckpt_io.save_checkpoint(cfg.checkpoint_dir, state, cfg, epoch,
@@ -207,11 +222,14 @@ def main(argv: Optional[list] = None):
         )
         if is_eval_epoch:
             _, overall = eval_pass(state)
-            mlogger.log(
+            val_metrics = (
                 {f"mAP_{t}": overall[t]["mAP"] for t in overall}
-                | {f"AR_{t}": overall[t]["AR"] for t in overall},
-                epoch, prefix="val/",
+                | {f"AR_{t}": overall[t]["AR"] for t in overall}
             )
+            mlogger.log(val_metrics, epoch, prefix="val/")
+            if wandb is not None:  # reference main.py:362-383 logs val too
+                wandb.log({f"val/{k}": float(v)
+                           for k, v in val_metrics.items()}, step=epoch)
             cur = overall[0.25]["mAP"]
             if cur > best.get("mAP_0.25", -1):
                 best = {"mAP_0.25": float(cur),

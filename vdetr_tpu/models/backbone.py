@@ -28,11 +28,12 @@ _kaiming = nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal")
 
 class SparseConv(nn.Module):
     """Submanifold (stride-1) conv, kernel (k^3, C_in, C_out), no bias
-    (MinkowskiConvolution default)."""
+    (MinkowskiConvolution default). compute_dtype (e.g. bfloat16) applies
+    to the gather+matmul inner loop; accumulation stays float32."""
 
     out_channels: int
     kernel_size: int = 3
-    compute_dtype = None
+    compute_dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, grid: VoxelGrid) -> VoxelGrid:
@@ -41,7 +42,8 @@ class SparseConv(nn.Module):
             "kernel", _kaiming,
             (k3, grid.features.shape[-1], self.out_channels),
         )
-        return sparse_conv(grid, w, self.kernel_size)
+        return sparse_conv(grid, w, self.kernel_size,
+                           compute_dtype=self.compute_dtype)
 
 
 class SparseConvDown(nn.Module):
@@ -50,6 +52,7 @@ class SparseConvDown(nn.Module):
     out_channels: int
     out_capacity: int
     kernel_size: int = 3
+    compute_dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, grid: VoxelGrid) -> VoxelGrid:
@@ -58,7 +61,8 @@ class SparseConvDown(nn.Module):
             "kernel", _kaiming,
             (k3, grid.features.shape[-1], self.out_channels),
         )
-        return sparse_conv_down(grid, w, self.out_capacity, self.kernel_size)
+        return sparse_conv_down(grid, w, self.out_capacity, self.kernel_size,
+                                compute_dtype=self.compute_dtype)
 
 
 class SparseConvTranspose(nn.Module):
@@ -68,6 +72,7 @@ class SparseConvTranspose(nn.Module):
 
     out_channels: int
     generative_capacity: Optional[int] = None
+    compute_dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, coarse: VoxelGrid,
@@ -77,10 +82,12 @@ class SparseConvTranspose(nn.Module):
                                  self.out_channels)
         )
         if fine_sites is not None:
-            return sparse_conv_transpose(coarse, fine_sites, w)
+            return sparse_conv_transpose(coarse, fine_sites, w,
+                                         compute_dtype=self.compute_dtype)
         assert self.generative_capacity is not None
         return sparse_conv_transpose_generative(
-            coarse, w, self.generative_capacity
+            coarse, w, self.generative_capacity,
+            compute_dtype=self.compute_dtype,
         )
 
 
@@ -95,21 +102,26 @@ class SparseBasicBlock(nn.Module):
     stride: int = 1
     out_capacity: Optional[int] = None
     axis_name: Optional[str] = None
+    compute_dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, grid: VoxelGrid, train: bool = False) -> VoxelGrid:
+        cd = self.compute_dtype
         in_ch = grid.features.shape[-1]
         if self.stride == 2:
             out = SparseConvDown(self.planes, self.out_capacity,
-                                 kernel_size=3, name="conv1")(grid)
+                                 kernel_size=3, compute_dtype=cd,
+                                 name="conv1")(grid)
         else:
-            out = SparseConv(self.planes, name="conv1")(grid)
+            out = SparseConv(self.planes, compute_dtype=cd,
+                             name="conv1")(grid)
         f = MaskedBatchNorm(self.planes, use_running_average=not train,
                             axis_name=self.axis_name, name="norm1")(
             out.features, out.valid
         )
         f = nn.relu(f)
-        out2 = SparseConv(self.planes, name="conv2")(out.replace(features=f))
+        out2 = SparseConv(self.planes, compute_dtype=cd,
+                          name="conv2")(out.replace(features=f))
         f2 = MaskedBatchNorm(self.planes, use_running_average=not train,
                              axis_name=self.axis_name, name="norm2")(
             out2.features, out2.valid
@@ -117,9 +129,10 @@ class SparseBasicBlock(nn.Module):
         if self.stride != 1 or in_ch != self.planes:
             if self.stride == 2:
                 ds = SparseConvDown(self.planes, self.out_capacity,
-                                    kernel_size=1, name="downsample_conv")(grid)
+                                    kernel_size=1, compute_dtype=cd,
+                                    name="downsample_conv")(grid)
             else:
-                ds = SparseConv(self.planes, kernel_size=1,
+                ds = SparseConv(self.planes, kernel_size=1, compute_dtype=cd,
                                 name="downsample_conv")(grid)
             skip = MaskedBatchNorm(
                 self.planes, use_running_average=not train,
@@ -144,6 +157,7 @@ class SparseResNet(nn.Module):
     stem_bn: bool = True
     stage_capacities: Sequence[int] = (65536, 32768, 16384, 8192, 4096)
     axis_name: Optional[str] = None
+    compute_dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, grid: VoxelGrid, train: bool = False):
@@ -153,7 +167,8 @@ class SparseResNet(nn.Module):
         stage_blocks = arch[self.depth][: self.num_stages]
 
         x = SparseConvDown(self.inplanes, self.stage_capacities[0],
-                           kernel_size=3, name="conv1")(grid)
+                           kernel_size=3, compute_dtype=self.compute_dtype,
+                           name="conv1")(grid)
         if self.stem_bn:
             f = MaskedBatchNorm(self.inplanes, use_running_average=not train,
                                 axis_name=self.axis_name, name="norm1")(
@@ -171,9 +186,11 @@ class SparseResNet(nn.Module):
             cap = self.stage_capacities[i + 1]
             x = SparseBasicBlock(planes, stride=2, out_capacity=cap,
                                  axis_name=self.axis_name,
+                                 compute_dtype=self.compute_dtype,
                                  name=f"layer{i + 1}_block0")(x, train)
             for b in range(1, nblocks):
                 x = SparseBasicBlock(planes, axis_name=self.axis_name,
+                                     compute_dtype=self.compute_dtype,
                                      name=f"layer{i + 1}_block{b}")(x, train)
             outs.append(x)
         return outs
@@ -187,18 +204,22 @@ class FPNUpBlock(nn.Module):
     woexpand_conv: bool = True
     generative_capacity: Optional[int] = None
     axis_name: Optional[str] = None
+    compute_dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, coarse: VoxelGrid, fine_sites: Optional[VoxelGrid],
                  train: bool = False) -> VoxelGrid:
         if self.woexpand_conv:
-            up = SparseConvTranspose(self.out_channels, name="up_conv")(
+            up = SparseConvTranspose(self.out_channels,
+                                     compute_dtype=self.compute_dtype,
+                                     name="up_conv")(
                 coarse, fine_sites
             )
         else:
             up = SparseConvTranspose(
                 self.out_channels,
                 generative_capacity=self.generative_capacity,
+                compute_dtype=self.compute_dtype,
                 name="up_conv",
             )(coarse, None)
         f = MaskedBatchNorm(self.out_channels, use_running_average=not train,
@@ -206,7 +227,8 @@ class FPNUpBlock(nn.Module):
             up.features, up.valid
         )
         up = up.replace(features=nn.elu(f))
-        out = SparseConv(self.out_channels, name="conv")(up)
+        out = SparseConv(self.out_channels, compute_dtype=self.compute_dtype,
+                         name="conv")(up)
         f = MaskedBatchNorm(self.out_channels, use_running_average=not train,
                             axis_name=self.axis_name, name="norm")(
             out.features, out.valid
@@ -219,10 +241,12 @@ class FPNOutBlock(nn.Module):
 
     out_channels: int
     axis_name: Optional[str] = None
+    compute_dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, grid: VoxelGrid, train: bool = False) -> VoxelGrid:
-        out = SparseConv(self.out_channels, name="conv")(grid)
+        out = SparseConv(self.out_channels, compute_dtype=self.compute_dtype,
+                         name="conv")(grid)
         f = MaskedBatchNorm(self.out_channels, use_running_average=not train,
                             axis_name=self.axis_name, name="norm")(
             out.features, out.valid

@@ -129,11 +129,14 @@ def refine_box_predictions(heads_out, pre_center_normalized,
 
 class MultiHeadSelfAttention(nn.Module):
     """Vanilla MHA with separate q/k/v (torch nn.MultiheadAttention
-    equivalent; packed in_proj is split at checkpoint-import time)."""
+    equivalent; packed in_proj is split at checkpoint-import time).
+    compute_dtype=bfloat16 casts the attention matmul inputs; logits and
+    softmax accumulate in float32."""
 
     dim: int
     num_heads: int
     dropout: float = 0.0
+    compute_dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, q_in, k_in, v_in, train: bool = False):
@@ -146,10 +149,23 @@ class MultiHeadSelfAttention(nn.Module):
         q = q.reshape(B, N, H, hd) * (hd ** -0.5)
         k = k.reshape(B, N, H, hd)
         v = v.reshape(B, N, H, hd)
-        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k)
+        if self.compute_dtype is not None:
+            # round-trip cast: inputs rounded to compute_dtype, dot runs
+            # as f32-with-rounded-inputs == MXU bf16 matmul + f32
+            # accumulation. XLA:TPU folds the convert back into a bf16
+            # dot; XLA:CPU's DotThunk rejects batched mixed-precision
+            # dots outright, so the dot itself must stay f32 here.
+            q, k, v = (x.astype(self.compute_dtype).astype(jnp.float32)
+                       for x in (q, k, v))
+        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                          preferred_element_type=jnp.float32)
         attn = jax.nn.softmax(attn, axis=-1)
         attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
-        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(B, N, self.dim)
+        if self.compute_dtype is not None:
+            attn = attn.astype(self.compute_dtype).astype(jnp.float32)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v,
+                         preferred_element_type=jnp.float32
+                         ).reshape(B, N, self.dim)
         return nn.Dense(self.dim, kernel_init=xavier_uniform,
                         name="out_proj")(out)
 
@@ -161,6 +177,7 @@ class ShareSelfAttention(nn.Module):
     dim: int
     num_heads: int
     dropout: float = 0.0
+    compute_dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, q_in, k_in, v_in, train: bool = False):
@@ -171,10 +188,23 @@ class ShareSelfAttention(nn.Module):
         k = nn.Dense(hd, kernel_init=xavier_uniform, name="k")(k_in)
         v = nn.Dense(hd, kernel_init=xavier_uniform, name="v")(v_in)
         q = q.reshape(B, N, H, hd) * (hd ** -0.5)
-        attn = jnp.einsum("bqhd,bkd->bhqk", q, k)
+        if self.compute_dtype is not None:
+            # round-trip cast: inputs rounded to compute_dtype, dot runs
+            # as f32-with-rounded-inputs == MXU bf16 matmul + f32
+            # accumulation. XLA:TPU folds the convert back into a bf16
+            # dot; XLA:CPU's DotThunk rejects batched mixed-precision
+            # dots outright, so the dot itself must stay f32 here.
+            q, k, v = (x.astype(self.compute_dtype).astype(jnp.float32)
+                       for x in (q, k, v))
+        attn = jnp.einsum("bqhd,bkd->bhqk", q, k,
+                          preferred_element_type=jnp.float32)
         attn = jax.nn.softmax(attn, axis=-1)
         attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
-        out = jnp.einsum("bhqk,bkd->bqhd", attn, v).reshape(B, N, self.dim)
+        if self.compute_dtype is not None:
+            attn = attn.astype(self.compute_dtype).astype(jnp.float32)
+        out = jnp.einsum("bhqk,bkd->bqhd", attn, v,
+                         preferred_element_type=jnp.float32
+                         ).reshape(B, N, self.dim)
         x = nn.Dense(self.dim, kernel_init=xavier_uniform, name="proj")(out)
         return nn.Dropout(self.dropout, deterministic=not train)(x)
 
@@ -206,6 +236,7 @@ class GlobalShareCrossAttention(nn.Module):
     angle_type: str = ""
     dropout: float = 0.0
     impl: str = "materialized"  # or "fused" (pallas)
+    compute_dtype: Optional[Any] = None
 
     def rpe_tables(self):
         """Evaluate the 8 corner tables: (8, n, n, n, H)."""
@@ -232,8 +263,17 @@ class GlobalShareCrossAttention(nn.Module):
         k = nn.Dense(hd, kernel_init=xavier_uniform, name="k")(key)
         v = nn.Dense(hd, kernel_init=xavier_uniform, name="v")(key)
         q = q.reshape(B, nQ, H, hd) * (hd ** -0.5)
+        if self.compute_dtype is not None:
+            # round-trip cast: inputs rounded to compute_dtype, dot runs
+            # as f32-with-rounded-inputs == MXU bf16 matmul + f32
+            # accumulation. XLA:TPU folds the convert back into a bf16
+            # dot; XLA:CPU's DotThunk rejects batched mixed-precision
+            # dots outright, so the dot itself must stay f32 here.
+            q, k, v = (x.astype(self.compute_dtype).astype(jnp.float32)
+                       for x in (q, k, v))
 
-        attn = jnp.einsum("bqhd,bkd->bhqk", q, k)
+        attn = jnp.einsum("bqhd,bkd->bhqk", q, k,
+                          preferred_element_type=jnp.float32)
 
         # scan over the 8 corners (8x smaller graph than unrolling; the
         # RPE bias accumulates in place). All per-pair intermediates are
@@ -271,7 +311,11 @@ class GlobalShareCrossAttention(nn.Module):
             attn = jnp.where(key_valid[:, None, None, :], attn, -1e9)
         attn = jax.nn.softmax(attn, axis=-1)
         attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
-        out = jnp.einsum("bhqk,bkd->bqhd", attn, v).reshape(B, nQ, self.dim)
+        if self.compute_dtype is not None:
+            attn = attn.astype(self.compute_dtype).astype(jnp.float32)
+        out = jnp.einsum("bhqk,bkd->bqhd", attn, v,
+                         preferred_element_type=jnp.float32
+                         ).reshape(B, nQ, self.dim)
         x = nn.Dense(self.dim, kernel_init=xavier_uniform, name="proj")(out)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         return x
@@ -308,24 +352,32 @@ class GlobalDecoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, tgt, memory, reference_point, reference_angle,
-                 enc_xyz, query_pos, key_valid=None, train: bool = False):
+                 enc_xyz, query_pos, key_valid=None, key_pos=None,
+                 train: bool = False):
         c = self.cfg
+        cdtype = jnp.bfloat16 if c.compute_dtype == "bfloat16" else None
         t2 = nn.LayerNorm(name="norm1")(tgt)
         q = t2 + query_pos
         if c.share_selfattn:
             sa = ShareSelfAttention(c.dec_dim, c.dec_nhead, c.dec_dropout,
+                                    compute_dtype=cdtype,
                                     name="self_attn")(q, q, t2, train)
         else:
             sa = MultiHeadSelfAttention(c.dec_dim, c.dec_nhead, c.dec_dropout,
+                                        compute_dtype=cdtype,
                                         name="self_attn")(q, q, t2, train)
         tgt = tgt + nn.Dropout(c.dec_dropout, deterministic=not train)(sa)
 
         t2 = nn.LayerNorm(name="norm2")(tgt)
+        # pos_for_key: learned positional embedding added to the K input
+        # (reference vdetr_transformer.py:545-552, forward_pre)
+        key_in = memory if key_pos is None else memory + key_pos
         ca = GlobalShareCrossAttention(
             c.dec_dim, c.dec_nhead, c.rpe_dim, c.rpe_quant, c.log_scale,
             c.angle_type, c.dec_dropout, impl=c.rpe_impl,
+            compute_dtype=cdtype,
             name="cross_attn",
-        )(t2 + query_pos, memory, reference_point, reference_angle,
+        )(t2 + query_pos, key_in, reference_point, reference_angle,
           enc_xyz, key_valid, train)
         tgt = tgt + nn.Dropout(c.dec_dropout, deterministic=not train)(ca)
 
@@ -448,13 +500,21 @@ class TransformerDecoder(nn.Module):
                 c.dec_dim, axis_name=self.axis_name,
                 name=f"query_pos_projection{idx}",
             )(query_ref, train)
+            key_pos = None
+            if c.pos_for_key:
+                # per-layer learned key positional embedding on enc_xyz
+                # (reference vdetr_transformer.py:141-145, 416-417)
+                key_pos = PositionEmbeddingLearned(
+                    c.dec_dim, axis_name=self.axis_name,
+                    name=f"key_pos_projection{idx}",
+                )(enc_xyz, train)
             # rematerialized layer: backward recomputes attention instead
             # of keeping the (B, H, nQ, nK) tensors of all layers alive
-            layer_cls = nn.remat(GlobalDecoderLayer, static_argnums=(8,))
+            layer_cls = nn.remat(GlobalDecoderLayer, static_argnums=(9,))
             output = layer_cls(
                 c, axis_name=self.axis_name, name=f"layer{idx}"
             )(output, enc_features, reference_point, reference_angle,
-              enc_xyz, query_pos, enc_valid, train)
+              enc_xyz, query_pos, enc_valid, key_pos, train)
             heads = BoxHeads(c, self.num_semcls, self.num_angle_bin,
                              axis_name=self.axis_name,
                              name=f"mlp_heads{idx + 1}")

@@ -43,9 +43,12 @@ class VDETR(nn.Module):
     def _backbone_feats(self, point_clouds):
         c = self.cfg
         if c.use_color and c.xyz_color:
-            return point_clouds
+            return point_clouds          # xyz + rgb (+ normals)
         if c.use_color:
-            return point_clouds[..., 3:]
+            return point_clouds[..., 3:]  # rgb (+ normals)
+        if c.use_normals:
+            return point_clouds          # xyz + normals (point_dim == 6,
+                                          # reference build_backbone :400-401)
         # reference intent for the no-color path (model_vdetr.py:258-259,
         # which has a latent NameError): features = raw xyz
         return point_clouds[..., :3]
@@ -64,6 +67,9 @@ class VDETR(nn.Module):
 
         # ---- voxelize + sparse backbone (reference run_encoder) ----
         caps = c.stage_capacities()
+        # bf16 matmuls with fp32 accumulation when compute_dtype says so
+        # (params/norms/residuals stay fp32)
+        cdtype = (jnp.bfloat16 if c.compute_dtype == "bfloat16" else None)
         grid = voxelize(
             point_clouds[..., :3],
             self._backbone_feats(point_clouds),
@@ -79,6 +85,7 @@ class VDETR(nn.Module):
             stem_bn=c.stem_bn,
             stage_capacities=caps[1:],
             axis_name=self.axis_name,
+            compute_dtype=cdtype,
             name="pre_encoder",
         )(grid, train)
 
@@ -92,6 +99,7 @@ class VDETR(nn.Module):
                     woexpand_conv=c.woexpand_conv,
                     generative_capacity=caps[i + 1],
                     axis_name=self.axis_name,
+                    compute_dtype=cdtype,
                     name=f"up_block_{i + 1}",
                 )(x, stages[i], train)
                 x = stages[i].replace(
@@ -101,16 +109,37 @@ class VDETR(nn.Module):
                 x = stages[i]
             if i == c.layer_idx:
                 out = FPNOutBlock(c.enc_dim, axis_name=self.axis_name,
+                                  compute_dtype=cdtype,
                                   name=f"out_block_{i}")(x, train)
 
         # ---- FPS to 4096 seeds (reference FPSModule) ----
         vox_xyz = out.world_xyz() * out.valid[..., None]
+        vox_valid = out.valid
+        vox_feats = out.features
+        if c.random_fps and self.has_rng("dropout"):
+            # permute voxels before FPS so the greedy start (always index 0)
+            # is randomized (reference model_vdetr.py:301-305; the reference
+            # reads this flag without ever defining it — latent bug)
+            B, V = vox_valid.shape
+            perm = jax.vmap(
+                lambda k: jax.random.permutation(k, V)
+            )(jax.random.split(self.make_rng("dropout"), B))
+            vox_xyz = jnp.take_along_axis(vox_xyz, perm[..., None], axis=1)
+            vox_feats = jnp.take_along_axis(vox_feats, perm[..., None],
+                                            axis=1)
+            vox_valid = jnp.take_along_axis(vox_valid, perm, axis=1)
         seed_inds = furthest_point_sample(vox_xyz, c.preenc_npoints,
                                           impl=c.fps_impl)
         enc_xyz = jnp.take_along_axis(vox_xyz, seed_inds[..., None], axis=1)
         enc_features = jnp.take_along_axis(
-            out.features, seed_inds[..., None], axis=1
+            vox_feats, seed_inds[..., None], axis=1
         )
+        # Invariant: with fewer valid voxels than preenc_npoints, FPS
+        # returns duplicated indices (candidates exhaust and argmax falls
+        # back to the first max). seed_valid masks seeds that landed on
+        # padded (invalid) voxel rows so they never win top-k proposal
+        # selection or receive cross-attention mass.
+        seed_valid = jnp.take_along_axis(vox_valid, seed_inds, axis=1)
 
         # ---- projection + seed classification + anchors ----
         enc_features = GenericMLP(
@@ -168,7 +197,7 @@ class VDETR(nn.Module):
             c, self.num_semcls, self.num_angle_bin, self.mean_size_arr,
             axis_name=self.axis_name, name="decoder",
         )(enc_features, enc_xyz, point_cloud_dims, enc_box_predictions,
-          enc_valid=None, train=train)
+          enc_valid=seed_valid, train=train)
 
         box_predictions["seed_inds"] = seed_inds
         box_predictions["seed_xyz"] = enc_xyz
@@ -179,6 +208,7 @@ class VDETR(nn.Module):
 def build_model(cfg: VDETRConfig, dataset_config,
                 axis_name: Optional[str] = None) -> VDETR:
     """reference models/__init__.py:8 + model_vdetr.py:450-474."""
+    cfg.validate()
     return VDETR(
         cfg=cfg,
         num_semcls=dataset_config.num_semcls,

@@ -144,7 +144,16 @@ def _auction_single(cost, n_valid, eps_frac=0.002, max_iters=3000):
     row_ids = jnp.arange(n, dtype=jnp.int32)
     col_ids = jnp.arange(m, dtype=jnp.int32)
     row_valid = row_ids < n_valid
-    spread = jnp.maximum(values.max() - values.min(), 1e-3)
+    # eps from the spread of GENUINE costs only: criterion.build_cost pads
+    # invalid GT rows and dummy columns with 1e6 sentinels, which would
+    # otherwise inflate the spread ~1e6x and make the n*eps optimality
+    # bound vacuous on real training matrices.
+    genuine = row_valid[:, None] & (cost < 1e5)
+    vmax = jnp.max(jnp.where(genuine, values, -jnp.inf))
+    vmin = jnp.min(jnp.where(genuine, values, jnp.inf))
+    spread = vmax - vmin
+    spread = jnp.where(jnp.isfinite(spread), spread, 1.0)
+    spread = jnp.maximum(spread, 1e-3)
     eps = eps_frac * spread
 
     def cond(state):

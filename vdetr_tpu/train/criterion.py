@@ -393,38 +393,44 @@ class SetCriterion:
         targets["nactual_gt"] = nactual
         local_sum = nactual.sum().astype(jnp.float32)
         if self.axis_name is not None:
-            num_boxes = jax.lax.pmean(local_sum, self.axis_name)
+            global_sum = jax.lax.pmean(local_sum, self.axis_name)
         else:
-            num_boxes = local_sum
-        num_boxes = jnp.maximum(num_boxes, 1.0)
+            global_sum = local_sum
+        # The reference recomputes num_boxes AFTER GT repetition
+        # (criterion.py:612-616): jobs matched against repeated GT normalize
+        # by repeat*N, while the un-repeated bilable aux0 and the encoder
+        # point-cls loss normalize by N (criterion.py:670-676).
+        num_boxes = jnp.maximum(global_sum, 1.0)
         has_boxes = (local_sum > 0).astype(jnp.float32)
 
         if c.repeat_num > 1:
             targets_rep = repeat_ground_truth(targets, c.repeat_num)
+            num_boxes_rep = jnp.maximum(global_sum * c.repeat_num, 1.0)
         else:
             targets_rep = targets
+            num_boxes_rep = num_boxes
 
         # Prepare every output (final + aux) and batch the Hungarian solves
         # by cost-matrix shape: one LAP while-loop nest per shape group
         # instead of one per decoder layer (the batched while_loop advances
         # all problems in lockstep on device).
-        jobs = [("final", outputs["outputs"], targets_rep)]
+        jobs = [("final", outputs["outputs"], targets_rep, num_boxes_rep)]
         for k, aux in enumerate(outputs.get("aux_outputs", [])):
             if k == 0 and c.is_bilable:
                 bin_targets = dict(targets)
                 bin_targets["gt_box_sem_cls_label"] = jnp.zeros_like(
                     targets["gt_box_sem_cls_label"]
                 )
-                jobs.append((f"aux{k}", aux, bin_targets))
+                jobs.append((f"aux{k}", aux, bin_targets, num_boxes))
             else:
-                jobs.append((f"aux{k}", aux, targets_rep))
+                jobs.append((f"aux{k}", aux, targets_rep, num_boxes_rep))
 
         prepared = []
         by_shape = {}
-        for i, (tag, out, tgt) in enumerate(jobs):
+        for i, (tag, out, tgt, nb) in enumerate(jobs):
             out = self.prepare_output(out, tgt)
             cost = self.build_cost(out, tgt)
-            prepared.append((tag, out, tgt))
+            prepared.append((tag, out, tgt, nb))
             by_shape.setdefault(cost.shape[1:], []).append(
                 (i, cost, tgt["nactual_gt"])
             )
@@ -441,9 +447,9 @@ class SetCriterion:
 
         loss = jnp.zeros((), jnp.float32)
         loss_dict = {}
-        for i, (tag, out, tgt) in enumerate(prepared):
+        for i, (tag, out, tgt, nb) in enumerate(prepared):
             part_loss, part = self.compute_losses(
-                out, tgt, assignments[i], num_boxes, has_boxes
+                out, tgt, assignments[i], nb, has_boxes
             )
             loss = loss + part_loss
             if tag == "final":

@@ -40,21 +40,37 @@ INPUT_KEYS = ("point_clouds", "point_cloud_dims_min", "point_cloud_dims_max",
               "point_validity")
 
 
+def _is_transient(e: Exception) -> bool:
+    """Only jax runtime errors whose XLA status code is UNAVAILABLE (the
+    remote-attached-TPU transient class) qualify — a user/data error that
+    merely embeds the token must surface immediately."""
+    try:
+        from jax.errors import JaxRuntimeError
+    except ImportError:  # pragma: no cover - very old jax
+        JaxRuntimeError = ()
+    if not isinstance(e, JaxRuntimeError):
+        return False
+    first = str(e).splitlines()[0] if str(e) else ""
+    return first.startswith("UNAVAILABLE") or "UNAVAILABLE:" in first
+
+
 def _retry_device_errors(fn, retries: int):
     """Re-dispatch on transient accelerator failures (the reference's only
     failure behavior is sys.exit on non-finite loss, engine.py:100-102;
     remote-attached TPUs additionally surface transient UNAVAILABLE device
-    errors that a re-dispatch survives)."""
+    errors that a re-dispatch survives). Dispatch stays async on the happy
+    path when no retries are requested (callers that consume the loss value
+    already synchronize); with retries > 0 the result must be observed here
+    so the fault is attributable to this step."""
+    if retries <= 0:
+        return fn()
     for attempt in range(retries + 1):
         try:
             out = fn()
             jax.block_until_ready(out)
             return out
-        except Exception as e:  # noqa: BLE001 - match on message; the
-            # runtime surfaces transient faults as JaxRuntimeError OR
-            # ValueError depending on the call path
-            transient = "UNAVAILABLE" in str(e)
-            if not transient or attempt == retries:
+        except Exception as e:  # noqa: BLE001 - classified by _is_transient
+            if not _is_transient(e) or attempt == retries:
                 raise
             wait = 15.0 * (attempt + 1)
             print(f"transient device error ({str(e).splitlines()[0][:100]}); "
@@ -192,35 +208,53 @@ class Trainer:
 def train_one_epoch(trainer: Trainer, state: TrainState, loader, rng,
                     epoch: int, log_every: int = 10,
                     logger: Optional[Callable[[str], None]] = print,
-                    profile_dir: Optional[str] = None):
+                    profile_dir: Optional[str] = None,
+                    metrics_logger=None, log_metrics_every: int = 20):
     """Reference engine.py:59-122: iterate, step, finite-guard, log.
     profile_dir: capture a jax.profiler trace of iterations 2-4 of the
-    first epoch (the reference has no tracing at all, SURVEY.md §5)."""
+    first epoch (the reference has no tracing at all, SURVEY.md §5).
+    metrics_logger: optional MetricsLogger receiving the per-iteration
+    loss dict every `log_metrics_every` iterations (the reference parses
+    --log_metrics_every but never reads it; here it does what it says)."""
     losses = []
     last_dict = None
     t0 = time.time()
-    for it, batch in enumerate(loader):
-        if profile_dir and epoch == 0 and it == 2:
-            jax.profiler.start_trace(profile_dir)
-        if profile_dir and epoch == 0 and it == 5:
+    tracing = False
+    try:
+        for it, batch in enumerate(loader):
+            if profile_dir and epoch == 0 and it == 2:
+                jax.profiler.start_trace(profile_dir)
+                tracing = True
+            if tracing and it == 5:
+                jax.profiler.stop_trace()
+                tracing = False
+            rng, step_rng = jax.random.split(rng)
+            state, loss, loss_dict = trainer.train_step(state, batch,
+                                                        step_rng)
+            loss_val = float(loss)
+            if not math.isfinite(loss_val):
+                raise FloatingPointError(
+                    f"Loss is not finite at epoch {epoch} iter {it}; "
+                    "stopping (reference engine.py:100-102 exits here)."
+                )
+            losses.append(loss_val)
+            last_dict = loss_dict
+            if metrics_logger is not None and it % log_metrics_every == 0:
+                metrics_logger.log(
+                    {"loss": loss_val,
+                     **{k: float(v) for k, v in loss_dict.items()}},
+                    int(state.step), prefix="train_iter/",
+                )
+            if logger and it % log_every == 0:
+                avg = sum(losses[-10:]) / len(losses[-10:])
+                dt = time.time() - t0
+                logger(
+                    f"Epoch [{epoch}]; Iter [{it}]; Loss {avg:0.2f}; "
+                    f"LR {trainer.current_lr(state):0.2e}; {dt:0.1f}s"
+                )
+    finally:
+        if tracing:  # epochs shorter than the trace window must still close
             jax.profiler.stop_trace()
-        rng, step_rng = jax.random.split(rng)
-        state, loss, loss_dict = trainer.train_step(state, batch, step_rng)
-        loss_val = float(loss)
-        if not math.isfinite(loss_val):
-            raise FloatingPointError(
-                f"Loss is not finite at epoch {epoch} iter {it}; stopping "
-                "(reference engine.py:100-102 exits here)."
-            )
-        losses.append(loss_val)
-        last_dict = loss_dict
-        if logger and it % log_every == 0:
-            avg = sum(losses[-10:]) / len(losses[-10:])
-            dt = time.time() - t0
-            logger(
-                f"Epoch [{epoch}]; Iter [{it}]; Loss {avg:0.2f}; "
-                f"LR {trainer.current_lr(state):0.2e}; {dt:0.1f}s"
-            )
     mean_loss = sum(losses) / max(len(losses), 1)
     return state, mean_loss, last_dict
 
