@@ -38,8 +38,9 @@ def main(steps: int = 12):
     from vdetr_tpu.train.engine import Trainer
 
     on_tpu = jax.default_backend() in ("tpu", "axon")
+    fps_impl = os.environ.get("BENCH_FPS_IMPL", "auto")
     if on_tpu:
-        cfg = VDETRConfig()
+        cfg = VDETRConfig(fps_impl=fps_impl)
     else:
         cfg = VDETRConfig(
             voxel_capacity=8192, min_stage_capacity=256,

@@ -180,6 +180,16 @@ class VDETRConfig:
 
     # ---- derived helpers ----
     @property
+    def seq_axis(self) -> Optional[str]:
+        """Key/point-sharding mesh axis (BASELINE "large-scene stress"
+        config): present when the mesh declares a "seq" axis. Points are
+        sharded across it; decoder queries stay replicated and the
+        cross-attention combines per-shard logits with one psum/pmax
+        (parallel/seq_attention.py). The reference has nothing comparable
+        (SURVEY.md §2.3)."""
+        return "seq" if "seq" in self.mesh_axis_names else None
+
+    @property
     def focal_alpha(self) -> float:
         parts = self.cls_loss.split("_")
         return float(parts[1]) if len(parts) > 1 else 0.25

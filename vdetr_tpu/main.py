@@ -111,9 +111,12 @@ def main(argv: Optional[list] = None):
     global_batch = cfg.batchsize_per_gpu * ndev
     steps_per_epoch = max(len(datasets["train"]) // global_batch, 1)
 
+    # sync-BN statistics span every mesh axis (voxels are sharded across
+    # "seq" too when the large-scene config is active)
+    bn_axes = (cfg.mesh_axis_names if len(cfg.mesh_axis_names) > 1
+               else cfg.mesh_axis_names[0])
     model = build_model(cfg, ds_cfg,
-                        axis_name=cfg.mesh_axis_names[0]
-                        if cfg.mink_syncbn else None)
+                        axis_name=bn_axes if cfg.mink_syncbn else None)
     trainer = Trainer(cfg, model, ds_cfg, mesh, steps_per_epoch)
 
     import jax.numpy as jnp

@@ -26,6 +26,7 @@ from vdetr_tpu.geometry.boxes import (
     convert_corners_camera2lidar,
 )
 from vdetr_tpu.models.mlp import GenericMLP, PositionEmbeddingLearned
+from vdetr_tpu.ops import rpe_attention
 from vdetr_tpu.ops.rpe import (log_quantize, make_coords_table,
     trilinear_sample, trilinear_sample_split)
 
@@ -237,6 +238,7 @@ class GlobalShareCrossAttention(nn.Module):
     dropout: float = 0.0
     impl: str = "materialized"  # or "fused" (pallas)
     compute_dtype: Optional[Any] = None
+    seq_axis: Optional[str] = None  # keys sharded across this mesh axis
 
     def rpe_tables(self):
         """Evaluate the 8 corner tables: (8, n, n, n, H)."""
@@ -263,6 +265,30 @@ class GlobalShareCrossAttention(nn.Module):
         k = nn.Dense(hd, kernel_init=xavier_uniform, name="k")(key)
         v = nn.Dense(hd, kernel_init=xavier_uniform, name="v")(key)
         q = q.reshape(B, nQ, H, hd) * (hd ** -0.5)
+
+        # fused Pallas path: flash softmax with the RPE bias recomputed per
+        # (q-tile, k-tile) in VMEM, never materializing (B, H, nQ, nK).
+        # Deterministic (no attention dropout), so it serves the eval path;
+        # training keeps the rematerialized materialized-bias path below.
+        dropout_active = train and self.dropout > 0
+        use_fused = (
+            self.impl == "fused"
+            and not dropout_active
+            and self.seq_axis is None
+            and nK % rpe_attention.TPAD == 0
+            and nQ % 128 == 0
+            and jax.default_backend() in ("tpu", "axon")
+        )
+        if use_fused:
+            out = rpe_attention.rpe_cross_attention_pallas(
+                q, k, v, reference_point, reference_angle, key_xyz, tables,
+                key_valid, log_scale=self.log_scale, max_value=max_value,
+                rotate=self.angle_type == "object_coords",
+            ).reshape(B, nQ, self.dim)
+            x = nn.Dense(self.dim, kernel_init=xavier_uniform,
+                         name="proj")(out)
+            return nn.Dropout(self.dropout, deterministic=not train)(x)
+
         if self.compute_dtype is not None:
             # round-trip cast: inputs rounded to compute_dtype, dot runs
             # as f32-with-rounded-inputs == MXU bf16 matmul + f32
@@ -309,13 +335,29 @@ class GlobalShareCrossAttention(nn.Module):
                                (corners_first, tables))
         if key_valid is not None:
             attn = jnp.where(key_valid[:, None, None, :], attn, -1e9)
-        attn = jax.nn.softmax(attn, axis=-1)
-        attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
-        if self.compute_dtype is not None:
-            attn = attn.astype(self.compute_dtype).astype(jnp.float32)
-        out = jnp.einsum("bhqk,bkd->bqhd", attn, v,
-                         preferred_element_type=jnp.float32
-                         ).reshape(B, nQ, self.dim)
+        if self.seq_axis is not None:
+            # keys are a local shard: one pmax/psum streaming combine over
+            # the seq axis yields the exact global softmax
+            # (parallel/seq_attention.py). Dropout applies to the local
+            # unnormalized weights — identical to dropping normalized
+            # probabilities because the denominator never sees dropout.
+            from vdetr_tpu.parallel.seq_attention import (
+                combine_sharded_logits,
+            )
+
+            drop = nn.Dropout(self.dropout, deterministic=not train)
+            out = combine_sharded_logits(
+                attn, v, self.seq_axis,
+                dropout_fn=drop if dropout_active else None,
+            ).reshape(B, nQ, self.dim)
+        else:
+            attn = jax.nn.softmax(attn, axis=-1)
+            attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
+            if self.compute_dtype is not None:
+                attn = attn.astype(self.compute_dtype).astype(jnp.float32)
+            out = jnp.einsum("bhqk,bkd->bqhd", attn, v,
+                             preferred_element_type=jnp.float32
+                             ).reshape(B, nQ, self.dim)
         x = nn.Dense(self.dim, kernel_init=xavier_uniform, name="proj")(out)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         return x
@@ -375,7 +417,7 @@ class GlobalDecoderLayer(nn.Module):
         ca = GlobalShareCrossAttention(
             c.dec_dim, c.dec_nhead, c.rpe_dim, c.rpe_quant, c.log_scale,
             c.angle_type, c.dec_dropout, impl=c.rpe_impl,
-            compute_dtype=cdtype,
+            compute_dtype=cdtype, seq_axis=c.seq_axis,
             name="cross_attn",
         )(t2 + query_pos, key_in, reference_point, reference_angle,
           enc_xyz, key_valid, train)
@@ -448,12 +490,30 @@ class TransformerDecoder(nn.Module):
             enc_box_predictions["size_normalized"],
             point_cloud_dims, self.num_angle_bin, c.use_focal,
         )
+        if c.seq_axis is not None:
+            # seeds are sharded across the seq axis: all-gather the layer-0
+            # predictions so aux0 / top-k have exact dense semantics (the
+            # per-seed tensors are small: nq_glob x a few channels). Only
+            # the selected query FEATURES need the owner-contribute psum.
+            from vdetr_tpu.parallel.seq_attention import (
+                gather_selected_sharded,
+            )
+
+            n_loc = output.shape[1]
+            gath = lambda x: jax.lax.all_gather(x, c.seq_axis, axis=1,
+                                                tiled=True)
+            pred0 = jax.tree.map(gath, pred0)
+            if enc_valid is not None:
+                enc_valid_glob = gath(enc_valid)
+            shard_off = jax.lax.axis_index(c.seq_axis) * n_loc
+        else:
+            enc_valid_glob = enc_valid
         intermediate = [pred0]
 
         # ---- top-k proposal selection (reference :364-398) ----
         obj = jax.lax.stop_gradient(pred0["objectness_prob"])
         if enc_valid is not None:
-            obj = jnp.where(enc_valid, obj, -jnp.inf)
+            obj = jnp.where(enc_valid_glob, obj, -jnp.inf)
         nq = min(c.nqueries, obj.shape[1])
         _, topk = jax.lax.top_k(obj, nq)
 
@@ -471,7 +531,11 @@ class TransformerDecoder(nn.Module):
         reference_angle = g(sg(pred0["angle_continuous"]))
         proposal_center_norm = g(sg(pred0["center_normalized"]))
         proposal_size_norm = g(sg(pred0["size_normalized"]))
-        output = g(output)
+        if c.seq_axis is not None:
+            output = gather_selected_sharded(output, topk.astype(jnp.int32),
+                                             shard_off, c.seq_axis)
+        else:
+            output = g(output)
 
         B = output.shape[0]
         if c.q_content == "zero":

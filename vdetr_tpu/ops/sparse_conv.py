@@ -82,16 +82,27 @@ def sparse_conv(grid: VoxelGrid, weights, kernel_size: int = 3,
     """Submanifold (stride-1) sparse conv: output sites == input sites.
 
     weights: (kernel_size^3, C_in, C_out).
+
+    The whole op is rematerialized: without jax.checkpoint the scan's
+    backward stores the gathered (V, C_in) features for all K offsets of
+    every conv (~11 GB across the ResNet34 at 131k-voxel capacity —
+    measured via XLA memory analysis; it OOMed the v5e worker). Storing
+    only the op inputs and re-gathering in backward costs one extra
+    forward of a ~1 ms backbone.
     """
     offs = jnp.asarray(_offsets(kernel_size), jnp.int32)  # (K, 3)
 
-    def one(coords, keys, feats, valid):
-        q = coords[None, :, :] + offs[:, None, :]  # (K, V, 3)
-        qkeys = pack_keys(q, grid.extent)
-        qkeys = jnp.where(valid[None, :], qkeys, KEY_SENTINEL)
-        return _gather_matmul(feats, keys, qkeys, weights, compute_dtype)
+    @jax.checkpoint
+    def run(coords, keys, feats, valid, weights):
+        def one(coords, keys, feats, valid):
+            q = coords[None, :, :] + offs[:, None, :]  # (K, V, 3)
+            qkeys = pack_keys(q, grid.extent)
+            qkeys = jnp.where(valid[None, :], qkeys, KEY_SENTINEL)
+            return _gather_matmul(feats, keys, qkeys, weights, compute_dtype)
 
-    out = jax.vmap(one)(grid.coords, grid.keys, grid.features, grid.valid)
+        return jax.vmap(one)(coords, keys, feats, valid)
+
+    out = run(grid.coords, grid.keys, grid.features, grid.valid, weights)
     out = out * grid.valid[..., None]
     return grid.replace(features=out)
 
@@ -107,14 +118,19 @@ def sparse_conv_down(grid: VoxelGrid, weights, out_capacity: int,
     else:
         offs = jnp.asarray(_offsets(kernel_size), jnp.int32)
 
-    def one(out_coords, out_valid, in_keys, in_feats):
-        q = out_coords[None, :, :] * 2 + offs[:, None, :]  # (K, V_out, 3)
-        qkeys = pack_keys(q, grid.extent)
-        qkeys = jnp.where(out_valid[None, :], qkeys, KEY_SENTINEL)
-        return _gather_matmul(in_feats, in_keys, qkeys, weights, compute_dtype)
+    @jax.checkpoint  # see sparse_conv: avoid storing per-offset gathers
+    def run(out_coords, out_valid, in_keys, in_feats, weights):
+        def one(out_coords, out_valid, in_keys, in_feats):
+            q = out_coords[None, :, :] * 2 + offs[:, None, :]  # (K, V_out, 3)
+            qkeys = pack_keys(q, grid.extent)
+            qkeys = jnp.where(out_valid[None, :], qkeys, KEY_SENTINEL)
+            return _gather_matmul(in_feats, in_keys, qkeys, weights,
+                                  compute_dtype)
 
-    out = jax.vmap(one)(out_grid.coords, out_grid.valid, grid.keys,
-                        grid.features)
+        return jax.vmap(one)(out_coords, out_valid, in_keys, in_feats)
+
+    out = run(out_grid.coords, out_grid.valid, grid.keys, grid.features,
+              weights)
     out = out * out_grid.valid[..., None]
     return out_grid.replace(features=out)
 
@@ -130,35 +146,39 @@ def sparse_conv_transpose(coarse: VoxelGrid, fine_sites: VoxelGrid, weights,
     weight slot is the offset f - 2*floor(f/2) in {0,1}^3 (z-fastest order
     to match the (8, C_in, C_out) kernel layout).
     """
-    def one(f_coords, f_valid, c_keys, c_feats):
-        parent = f_coords // 2
-        pkeys = pack_keys(parent, coarse.extent)
-        pkeys = jnp.where(f_valid, pkeys, KEY_SENTINEL)
-        idx = lookup(c_keys, pkeys)
-        C_in = c_feats.shape[-1]
-        feats_ext = jnp.concatenate(
-            [c_feats, jnp.zeros((1, C_in), c_feats.dtype)], axis=0
-        )
-        x = feats_ext[idx]  # (V_f, C_in)
-        rel = f_coords - parent * 2  # (V_f, 3) in {0,1}
-        k = (rel[:, 0] * 2 + rel[:, 1]) * 2 + rel[:, 2]  # (V_f,)
-        w = weights
-        if compute_dtype is not None:
-            x = x.astype(compute_dtype)
-            w = w.astype(compute_dtype)
-        out = jnp.zeros((x.shape[0], w.shape[-1]), x.dtype)
-        # one masked matmul per weight slot: avoids gathering a per-site
-        # (C_in, C_out) weight tensor
-        for kk in range(8):
-            xm = jnp.where((k == kk)[:, None], x, 0)
-            out = out + jax.lax.dot_general(
-                xm, w[kk], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+    @jax.checkpoint  # see sparse_conv: avoid storing the 8 masked copies
+    def run(f_coords_b, f_valid_b, c_keys_b, c_feats_b, weights):
+        def one(f_coords, f_valid, c_keys, c_feats):
+            parent = f_coords // 2
+            pkeys = pack_keys(parent, coarse.extent)
+            pkeys = jnp.where(f_valid, pkeys, KEY_SENTINEL)
+            idx = lookup(c_keys, pkeys)
+            C_in = c_feats.shape[-1]
+            feats_ext = jnp.concatenate(
+                [c_feats, jnp.zeros((1, C_in), c_feats.dtype)], axis=0
             )
-        return out.astype(jnp.float32)
+            x = feats_ext[idx]  # (V_f, C_in)
+            rel = f_coords - parent * 2  # (V_f, 3) in {0,1}
+            k = (rel[:, 0] * 2 + rel[:, 1]) * 2 + rel[:, 2]  # (V_f,)
+            w = weights
+            if compute_dtype is not None:
+                x = x.astype(compute_dtype)
+                w = w.astype(compute_dtype)
+            out = jnp.zeros((x.shape[0], w.shape[-1]), x.dtype)
+            # one masked matmul per weight slot: avoids gathering a
+            # per-site (C_in, C_out) weight tensor
+            for kk in range(8):
+                xm = jnp.where((k == kk)[:, None], x, 0)
+                out = out + jax.lax.dot_general(
+                    xm, w[kk], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            return out.astype(jnp.float32)
 
-    out = jax.vmap(one)(fine_sites.coords, fine_sites.valid, coarse.keys,
-                        coarse.features)
+        return jax.vmap(one)(f_coords_b, f_valid_b, c_keys_b, c_feats_b)
+
+    out = run(fine_sites.coords, fine_sites.valid, coarse.keys,
+              coarse.features, weights)
     out = out * fine_sites.valid[..., None]
     return fine_sites.replace(features=out)
 

@@ -93,10 +93,15 @@ class SetCriterion:
     """Stateless; construct once per config (reference criterion.py:231)."""
 
     def __init__(self, cfg: VDETRConfig, dataset_config,
-                 axis_name: Optional[str] = None):
+                 axis_name: Optional[str] = None,
+                 seq_axis_name: Optional[str] = None):
         self.cfg = cfg
         self.ds = dataset_config
         self.axis_name = axis_name
+        # seq sharding: encoder seeds are a local shard; the point-cls
+        # focal sum spans all shards via one psum (decoder losses are
+        # computed from replicated queries and need no collective)
+        self.seq_axis_name = seq_axis_name
         self.rotated = dataset_config.num_angle_bin > 1
         self.loss_weights = {
             "loss_giou": cfg.loss_giou_weight,
@@ -383,6 +388,8 @@ class SetCriterion:
         gt_label = jnp.where(matched > 0, gt_label, C)
         onehot = jax.nn.one_hot(gt_label, C + 1)[..., :C]
         loss = sigmoid_focal_loss_sum(logits, onehot, alpha=c.focal_alpha)
+        if self.seq_axis_name is not None:
+            loss = jax.lax.psum(loss, self.seq_axis_name)
         return loss / num_boxes * has_boxes
 
     def __call__(self, outputs, targets):

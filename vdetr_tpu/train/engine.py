@@ -91,17 +91,42 @@ class Trainer:
         self.model = model
         self.mesh = mesh
         self.axis = axis
-        self.criterion = SetCriterion(cfg, dataset_config, axis_name=axis)
+        # optional "seq" mesh axis: points/seeds sharded within each scene
+        # (BASELINE large-scene stress config); queries stay replicated
+        self.seq = cfg.seq_axis if cfg.seq_axis in mesh.axis_names else None
+        self.criterion = SetCriterion(cfg, dataset_config, axis_name=axis,
+                                      seq_axis_name=self.seq)
         self.lr_schedule = make_lr_schedule(cfg, steps_per_epoch)
         self.tx = build_optimizer(cfg, self.lr_schedule)
         self._train_step = self._build_train_step()
         self._eval_step = self._build_eval_step()
 
+    def _batch_spec(self, batch_keys):
+        """Per-key PartitionSpecs: point arrays shard over (data, seq);
+        GT / scalar fields shard over data only (replicated across seq)."""
+        if self.seq is None:
+            return P(self.axis)
+        return {
+            k: (P(self.axis, self.seq)
+                if k in ("point_clouds", "point_validity")
+                else P(self.axis))
+            for k in batch_keys
+        }
+
     # ---- state ----
     def init_state(self, rng, sample_batch) -> TrainState:
-        variables = self.model.init(
-            rng, _model_inputs(sample_batch), train=False
-        )
+        # jitted init: eager flax init dispatches every op separately,
+        # which takes ~10 min over a remote-attached TPU tunnel
+        inputs = _model_inputs(sample_batch)
+        init = lambda r, inp: self.model.init(r, inp, train=False)
+        if self.seq is not None:
+            # seq mode traces collectives even at init: run under shard_map
+            init = shard_map(
+                init, mesh=self.mesh,
+                in_specs=(P(), self._batch_spec(tuple(sorted(inputs)))),
+                out_specs=P(), check_vma=False,
+            )
+        variables = jax.jit(init)(rng, inputs)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
         opt_state = self.tx.init(params)
@@ -120,7 +145,11 @@ class Trainer:
         axis = self.axis
         model, criterion, tx = self.model, self.criterion, self.tx
 
+        seq = self.seq
+
         def per_device(state: TrainState, batch, rng):
+            # fold in the DATA index only: dropout on the replicated query
+            # path must be identical across seq shards or replication breaks
             rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
 
             def loss_fn(params):
@@ -130,11 +159,18 @@ class Trainer:
                     rngs={"dropout": rng}, mutable=["batch_stats"],
                 )
                 loss, loss_dict = criterion(out, batch)
+                if seq is not None:
+                    # differentiate the seq-mean: its transpose splits the
+                    # cotangent 1/n per replica, so the psum of grads below
+                    # is exact for both replicated and sharded subgraphs
+                    loss = jax.lax.pmean(loss, seq)
                 return loss, (loss_dict, mutated["batch_stats"])
 
             (loss, (loss_dict, new_stats)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(state.params)
+            if seq is not None:
+                grads = jax.lax.psum(grads, seq)
             grads = jax.lax.pmean(grads, axis)
             loss_red = jax.lax.pmean(loss, axis)
             loss_dict = jax.tree.map(
@@ -151,14 +187,23 @@ class Trainer:
             )
             return new_state, loss_red, loss_dict
 
-        smapped = shard_map(
-            per_device,
-            mesh=self.mesh,
-            in_specs=(P(), P(self.axis), P()),
-            out_specs=(P(), P(), P()),
-            check_vma=False,
-        )
-        return jax.jit(smapped)
+        # batch in_specs depend on the batch's key set (sample_valid is
+        # only present in pad_last eval batches): build per key set, cached
+        cache = {}
+
+        def stepper(state, batch, rng):
+            key = tuple(sorted(batch))
+            if key not in cache:
+                cache[key] = jax.jit(shard_map(
+                    per_device,
+                    mesh=self.mesh,
+                    in_specs=(P(), self._batch_spec(key), P()),
+                    out_specs=(P(), P(), P()),
+                    check_vma=False,
+                ))
+            return cache[key](state, batch, rng)
+
+        return stepper
 
     def _build_eval_step(self):
         model = self.model
@@ -182,14 +227,21 @@ class Trainer:
             }
             return keep
 
-        smapped = shard_map(
-            per_device,
-            mesh=self.mesh,
-            in_specs=(P(), P(self.axis)),
-            out_specs=P(self.axis),
-            check_vma=False,
-        )
-        return jax.jit(smapped)
+        cache = {}
+
+        def stepper(state, batch):
+            key = tuple(sorted(batch))
+            if key not in cache:
+                cache[key] = jax.jit(shard_map(
+                    per_device,
+                    mesh=self.mesh,
+                    in_specs=(P(), self._batch_spec(key)),
+                    out_specs=P(self.axis),
+                    check_vma=False,
+                ))
+            return cache[key](state, batch)
+
+        return stepper
 
     def train_step(self, state: TrainState, batch, rng, retries: int = 2):
         return _retry_device_errors(
