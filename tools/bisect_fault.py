@@ -9,7 +9,10 @@ Usage: python tools/bisect_fault.py <stage>
 """
 
 import os
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 import numpy as np
@@ -70,6 +73,52 @@ def main(stage: str):
         out = fwd_loss(params)
         loss, _ = criterion(out, batch)
         return loss
+
+    if stage in ("step", "smap"):
+        from vdetr_tpu.parallel import make_mesh
+        from vdetr_tpu.train.engine import Trainer
+
+        mesh = make_mesh(("data",), (1,), devices=jax.devices()[:1])
+        model2 = build_model(cfg, ds, axis_name="data")
+        trainer = Trainer(cfg, model2, ds, mesh, steps_per_epoch=100)
+        if stage == "step":
+            # grad + optimizer update, no shard_map
+            import jax.numpy as jnp2
+
+            def full(params, opt_state):
+                def loss_fn(p):
+                    out, _ = model.apply(
+                        {"params": p, "batch_stats": stats},
+                        _model_inputs(batch), train=True,
+                        rngs={"dropout": rng}, mutable=["batch_stats"],
+                    )
+                    return criterion(out, batch)[0]
+
+                loss, grads = jax.value_and_grad(loss_fn)(params)
+                updates, opt_state = trainer.tx.update(grads, opt_state,
+                                                       params)
+                params = jax.tree.map(lambda p, u: p + u, params, updates)
+                return params, opt_state, loss
+
+            opt_state = trainer.tx.init(params)
+            fn = jax.jit(full)
+            for i in range(3):
+                t0 = time.time()
+                params, opt_state, loss = fn(params, opt_state)
+                jax.block_until_ready(loss)
+                print(f"step {i}: {time.time()-t0:.2f}s "
+                      f"loss={float(loss):.3f}", flush=True)
+        else:
+            state = trainer.init_state(jax.random.PRNGKey(0), batch)
+            for i in range(3):
+                t0 = time.time()
+                state, loss, _ = trainer.train_step(
+                    state, batch, jax.random.fold_in(rng, i), retries=0
+                )
+                print(f"smap step {i}: {time.time()-t0:.2f}s "
+                      f"loss={float(loss):.3f}", flush=True)
+        print("OK", flush=True)
+        return
 
     fns = {
         "fwd": jax.jit(pooled),

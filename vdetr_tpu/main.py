@@ -91,7 +91,22 @@ def main(argv: Optional[list] = None):
     args = make_args_parser().parse_args(argv)
     cfg = config_from_args(args)
 
-    if cfg.test_only and cfg.auto_test and cfg.test_ckpt:
+    torch_ckpt = None
+    if cfg.test_only and cfg.test_ckpt and cfg.test_ckpt.endswith(".pth"):
+        # reference-format torch checkpoint (scannet_540ep.pth layout):
+        # weights import through the shim; --auto_test restores model
+        # hyperparams from the pickled args (reference main.py:218-233)
+        import torch
+
+        from vdetr_tpu.config import AUTO_TEST_IGNORE_KEYS
+        from vdetr_tpu.train.torch_import import reference_args_to_config
+
+        torch_ckpt = torch.load(cfg.test_ckpt, map_location="cpu",
+                                weights_only=False)
+        if cfg.auto_test and "args" in torch_ckpt:
+            cfg = reference_args_to_config(torch_ckpt["args"], cfg,
+                                           AUTO_TEST_IGNORE_KEYS)
+    elif cfg.test_only and cfg.auto_test and cfg.test_ckpt:
         from vdetr_tpu.train.checkpoint import auto_reload_config
 
         cfg = auto_reload_config(cfg, cfg.test_ckpt)
@@ -154,7 +169,26 @@ def main(argv: Optional[list] = None):
         return calc, overall
 
     if cfg.test_only:
-        if cfg.test_ckpt:
+        if torch_ckpt is not None:
+            from vdetr_tpu.train.torch_import import convert_torch_state_dict
+
+            sd = torch_ckpt["model"] if "model" in torch_ckpt else torch_ckpt
+            params, stats, report = convert_torch_state_dict(sd, cfg)
+            if report["missing"]:
+                raise ValueError(
+                    f"torch checkpoint missing {len(report['missing'])} "
+                    f"tensors, e.g. {report['missing'][:5]}"
+                )
+            if report["unused"]:
+                print(f"warning: {len(report['unused'])} unused ckpt "
+                      f"tensors, e.g. {report['unused'][:5]}")
+            state = state.replace(
+                params=jax.tree.map(jnp.asarray, params),
+                batch_stats=jax.tree.map(jnp.asarray, stats),
+            )
+            print(f"imported torch checkpoint at epoch "
+                  f"{torch_ckpt.get('epoch')}")
+        elif cfg.test_ckpt:
             state, header = ckpt_io.load_checkpoint(cfg.test_ckpt, state)
             print(f"loaded checkpoint at epoch {header.get('epoch')}")
         calc, overall = eval_pass(state)

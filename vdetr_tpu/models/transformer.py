@@ -270,6 +270,13 @@ class GlobalShareCrossAttention(nn.Module):
         # (q-tile, k-tile) in VMEM, never materializing (B, H, nQ, nK).
         # Deterministic (no attention dropout), so it serves the eval path;
         # training keeps the rematerialized materialized-bias path below.
+        # NOTE current Mosaic cannot lower the all-head table gather
+        # (tpu.dynamic_gather sources are limited to one vreg = 128 lanes;
+        # the flat RPE table needs 1000), so compiled-mode dispatch is
+        # opt-in via rpe_impl="fused" and raises a clear error if Mosaic
+        # still rejects it; the kernel is parity-tested in interpret mode
+        # (tests/test_rpe_attention.py) and becomes the default once the
+        # constraint is lifted.
         dropout_active = train and self.dropout > 0
         use_fused = (
             self.impl == "fused"

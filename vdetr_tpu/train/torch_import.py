@@ -29,8 +29,18 @@ import numpy as np
 
 from vdetr_tpu.config import VDETRConfig
 
-# hook for ME kernel-offset order differences (identity = same order)
-KERNEL_OFFSET_PERMUTATION: Optional[np.ndarray] = None
+# Hook for ME kernel-offset order differences (identity = same order).
+# Keyed by kernel volume: 27 for the 3^3 convs, 8 for the 2^3 FPN
+# transpose convs (both enumerations share the same axis-order/sign
+# ambiguity; tools/verify_port.py derives the pair from one relabeling
+# and can search all 48 candidates against golden reference outputs).
+KERNEL_OFFSET_PERMUTATION: Optional[Dict[int, np.ndarray]] = None
+
+
+def _offset_perm(k: np.ndarray) -> Optional[np.ndarray]:
+    if KERNEL_OFFSET_PERMUTATION is None or k.shape[0] <= 1:
+        return None
+    return KERNEL_OFFSET_PERMUTATION.get(k.shape[0])
 
 
 def _np(x):
@@ -100,8 +110,9 @@ class _Mapper:
         if k is not None:
             if k.ndim == 2:  # kernel_size 1 convs are stored (C_in, C_out)
                 k = k[None]
-            if KERNEL_OFFSET_PERMUTATION is not None and k.shape[0] > 1:
-                k = k[KERNEL_OFFSET_PERMUTATION]
+            perm = _offset_perm(k)
+            if perm is not None:
+                k = k[perm]
             _set(self.params, path + ("kernel",), k)
 
     def raw(self, tname, path):
@@ -267,6 +278,30 @@ def load_reference_checkpoint(path: str, cfg: VDETRConfig):
     return params, stats, report, meta
 
 
+def reference_args_to_config(ckpt_args, base_cfg: VDETRConfig,
+                             ignore_keys=()) -> VDETRConfig:
+    """Map the argparse Namespace pickled inside a reference checkpoint
+    (`ckpt["args"]`, utils/io.py:23-29) onto VDETRConfig — the .pth
+    equivalent of `--auto_test` arg restoration (reference main.py:218-233).
+
+    Same-named fields are copied; reference-only infra flags (ngpus,
+    dist_url, ...) and `ignore_keys` (the reference's auto_reload ignore
+    list: test/NMS/IO flags stay from the CLI) are skipped; TPU-only
+    fields (voxel_capacity, mesh_*, ...) keep `base_cfg` values."""
+    import dataclasses
+
+    ns = dict(ckpt_args) if isinstance(ckpt_args, dict) else vars(ckpt_args)
+    fields = {f.name for f in dataclasses.fields(VDETRConfig)}
+    kw = {}
+    for k, v in ns.items():
+        if k in ignore_keys or k not in fields:
+            continue
+        if v is None and isinstance(getattr(base_cfg, k), str):
+            v = ""  # argparse default-None strings (angle_type etc.)
+        kw[k] = v
+    return base_cfg.replace(**kw)
+
+
 # --------------------------------------------------------------------------
 # Inverse direction (for round-trip tests / export)
 # --------------------------------------------------------------------------
@@ -306,9 +341,9 @@ def build_reference_state_dict(params: Dict, batch_stats: Dict,
         elif kind == "conv1d_w":
             sd[tname] = v.T[:, :, None]
         elif kind == "mink":
-            if KERNEL_OFFSET_PERMUTATION is not None and v.shape[0] > 1:
-                inv = np.argsort(KERNEL_OFFSET_PERMUTATION)
-                v = v[inv]
+            perm = _offset_perm(v)
+            if perm is not None:
+                v = v[np.argsort(perm)]
             sd[tname] = v
         elif kind == "packed_qkv":
             base = path[:-2]
