@@ -95,10 +95,31 @@ def _points_in_boxes_np(points, boxes):
     )
 
 
+def device_nms_supported(config_dict) -> bool:
+    """True when the configured NMS variant is exactly the one
+    `nms_3d_samecls_mask` implements on device (the published eval path:
+    class-aware axis-aligned 3D NMS, no empty-box removal interplay)."""
+    return (
+        config_dict["use_3d_nms"]
+        and config_dict["cls_nms"]
+        and not config_dict["use_old_type_nms"]
+        and not config_dict["angle_nms"]
+        and not config_dict.get("rotated_nms")
+        and not config_dict.get("no_nms")
+        and not config_dict["remove_empty_box"]
+    )
+
+
 def parse_predictions(predicted_boxes, sem_cls_probs, objectness_probs,
                       angle_probs, point_cloud, config_dict,
-                      predicted_boxes_CSA=None, rng=None):
-    """Reference utils/ap_calculator.py:48-282. All inputs numpy."""
+                      predicted_boxes_CSA=None, rng=None,
+                      precomputed_nms_mask=None):
+    """Reference utils/ap_calculator.py:48-282. All inputs numpy.
+
+    precomputed_nms_mask: (B, K) keep mask already computed on device
+    inside the jitted eval step (geometry.nms_3d_samecls_mask, pick-order
+    parity-tested vs the numpy path); only honored when the configured
+    variant matches `device_nms_supported`."""
     sem_cls_probs = np.asarray(sem_cls_probs)
     pred_sem_cls = np.argmax(sem_cls_probs, -1)
     obj_prob = np.asarray(objectness_probs)
@@ -131,7 +152,10 @@ def parse_predictions(predicted_boxes, sem_cls_probs, objectness_probs,
         b[:, 5] = corners[i, :, :, 2].max(-1)
         return b
 
-    if config_dict.get("rotated_nms"):
+    if (precomputed_nms_mask is not None
+            and device_nms_supported(config_dict)):
+        pred_mask = np.asarray(precomputed_nms_mask, dtype=float)
+    elif config_dict.get("rotated_nms"):
         # true oriented-box NMS (the reference flag selects a debug stub,
         # utils/ap_calculator.py:113-114; see nms_3d_rotated_samecls_np)
         from vdetr_tpu.geometry.nms import nms_3d_rotated_samecls_np
@@ -266,6 +290,7 @@ class APCalculator:
             np.asarray(targets["point_clouds"]),
             self.ap_config_dict,
             predicted_boxes_CSA=csa,
+            precomputed_nms_mask=outputs.get("nms_keep"),
         )
         batch_gt = self.make_gt_list(
             np.asarray(targets["gt_box_corners"]),

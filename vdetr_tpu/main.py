@@ -137,7 +137,9 @@ def main(argv: Optional[list] = None):
     import jax.numpy as jnp
     from vdetr_tpu.data.synthetic import collate
 
-    sample = collate([datasets["train"][i] for i in range(global_batch)])
+    n_train = len(datasets["train"])
+    sample = collate([datasets["train"][i % n_train]
+                      for i in range(global_batch)])
     sample = {k: jnp.asarray(v) for k, v in sample.items()}
     state = trainer.init_state(jax.random.PRNGKey(cfg.seed), sample)
 

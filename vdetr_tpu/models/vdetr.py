@@ -54,7 +54,11 @@ class VDETR(nn.Module):
         return point_clouds[..., :3]
 
     @nn.compact
-    def __call__(self, inputs: Dict[str, jnp.ndarray], train: bool = False):
+    def __call__(self, inputs: Dict[str, jnp.ndarray], train: bool = False,
+                 debug_stop: int = 0):
+        """debug_stop (static under jit): early-return a digest after
+        stage k — 1 voxelize, 2 backbone, 3 FPN, 4 FPS, 5 heads/anchors —
+        for on-chip fault bisection (tools/fwd_bisect.py). 0 = full."""
         c = self.cfg
         point_clouds = inputs["point_clouds"]
         dims_min = inputs["point_cloud_dims_min"]
@@ -78,6 +82,8 @@ class VDETR(nn.Module):
             capacity=caps[0],
             extent=c.grid_extent,
         )
+        if debug_stop == 1:
+            return {"digest": grid.features.sum() + grid.valid.sum()}
         stages = SparseResNet(
             depth=c.depth,
             inplanes=c.inplanes,
@@ -88,6 +94,8 @@ class VDETR(nn.Module):
             compute_dtype=cdtype,
             name="pre_encoder",
         )(grid, train)
+        if debug_stop == 2:
+            return {"digest": sum(s.features.sum() for s in stages)}
 
         # ---- FPN top-down (reference model_vdetr.py:266-278) ----
         channels = [c.inplanes * 2 ** i for i in range(c.num_stages)]
@@ -111,6 +119,9 @@ class VDETR(nn.Module):
                 out = FPNOutBlock(c.enc_dim, axis_name=self.axis_name,
                                   compute_dtype=cdtype,
                                   name=f"out_block_{i}")(x, train)
+
+        if debug_stop == 3:
+            return {"digest": out.features.sum()}
 
         # ---- FPS to 4096 seeds (reference FPSModule) ----
         vox_xyz = out.world_xyz() * out.valid[..., None]
@@ -140,6 +151,9 @@ class VDETR(nn.Module):
         # padded (invalid) voxel rows so they never win top-k proposal
         # selection or receive cross-attention mass.
         seed_valid = jnp.take_along_axis(vox_valid, seed_inds, axis=1)
+        if debug_stop == 4:
+            return {"digest": enc_features.sum() + enc_xyz.sum()
+                    + seed_valid.sum()}
 
         # ---- projection + seed classification + anchors ----
         enc_features = GenericMLP(
@@ -180,6 +194,10 @@ class VDETR(nn.Module):
             query_xyz, size_un,
             jnp.zeros((B, query_xyz.shape[1]), jnp.float32),
         )
+
+        if debug_stop == 5:
+            return {"digest": point_cls_logits.sum()
+                    + enc_box_predictions["box_corners"].sum()}
 
         if not c.querypos_mlp:
             # non-default path: Fourier query embedding (kept for API and

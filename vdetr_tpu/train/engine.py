@@ -67,7 +67,13 @@ def _retry_device_errors(fn, retries: int):
     for attempt in range(retries + 1):
         try:
             out = fn()
-            jax.block_until_ready(out)
+            # Fence via a host transfer of one leaf: on remote-attached
+            # TPUs jax.block_until_ready returns before execution
+            # completes, so a fault would otherwise surface later at an
+            # unrelated sync point outside this retry scope.
+            import numpy as _np
+
+            _np.asarray(jax.tree.leaves(out)[0].ravel()[0])
             return out
         except Exception as e:  # noqa: BLE001 - classified by _is_transient
             if not _is_transient(e) or attempt == retries:
@@ -89,6 +95,7 @@ class Trainer:
                  steps_per_epoch: int, axis: str = "data"):
         self.cfg = cfg
         self.model = model
+        self.dataset_config = dataset_config
         self.mesh = mesh
         self.axis = axis
         # optional "seq" mesh axis: points/seeds sharded within each scene
@@ -208,6 +215,19 @@ class Trainer:
     def _build_eval_step(self):
         model = self.model
         axis = self.axis
+        cfg = self.cfg
+        # device-side NMS (SURVEY §7.8 north star): when the configured
+        # variant is exactly the published class-aware axis-aligned 3D NMS,
+        # the keep mask is computed inside the jitted step (pick-order
+        # parity-tested vs the numpy path, tests/test_nms_pib.py) and the
+        # AP calculator skips its host NMS loop.
+        from vdetr_tpu.eval.ap_calculator import (
+            config_dict_from_cfg,
+            device_nms_supported,
+        )
+        use_device_nms = device_nms_supported(
+            config_dict_from_cfg(cfg, self.dataset_config)
+        )
 
         def per_device(state: TrainState, batch):
             out = model.apply(
@@ -225,6 +245,20 @@ class Trainer:
                     "size_unnormalized", "angle_continuous",
                 )
             }
+            if use_device_nms:
+                from vdetr_tpu.geometry import nms_3d_samecls_mask
+
+                corners = keep["box_corners_axis_align" if cfg.axis_align_test
+                               else "box_corners"]
+                aabbs = jnp.concatenate(
+                    [corners.min(axis=2), corners.max(axis=2)], axis=-1
+                )
+                classes = jnp.argmax(keep["sem_cls_prob"], axis=-1)
+                keep["nms_keep"] = jax.vmap(
+                    lambda a, s, c: nms_3d_samecls_mask(
+                        a, s, c, jnp.ones_like(s, bool), cfg.nms_iou
+                    )
+                )(aabbs, keep["objectness_prob"], classes)
             return keep
 
         cache = {}
