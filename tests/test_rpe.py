@@ -1,6 +1,7 @@
 """RPE parity: trilinear_sample vs torch F.grid_sample, log-quantize math."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -64,3 +65,55 @@ def test_object_frame_rotation_equivalence(rng):
         [d[:, 0] * c - d[:, 1] * s, d[:, 0] * s + d[:, 1] * c, d[:, 2]], 1
     )
     np.testing.assert_allclose(got, world, atol=1e-12)
+
+
+def test_trilinear_matmul_equals_split():
+    from vdetr_tpu.ops.rpe import (
+        trilinear_sample_matmul,
+        trilinear_sample_split,
+    )
+
+    rng = np.random.RandomState(5)
+    table = jnp.asarray(rng.randn(10, 10, 10, 4).astype(np.float32))
+    # in-range, out-of-range, and exactly-on-boundary sample points
+    pts = rng.uniform(-1.4, 1.4, size=(3, 7, 11, 3)).astype(np.float32)
+    pts[0, 0, 0] = [-1.0, 1.0, 0.0]
+    pts[0, 0, 1] = [1.0, -1.0, 1.0]
+    p0, p1, p2 = (jnp.asarray(pts[..., i]) for i in range(3))
+    want = np.asarray(trilinear_sample_split(table, p0, p1, p2))
+    got = np.asarray(trilinear_sample_matmul(table, p0, p1, p2))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+    # heads_first + chunking smaller than E
+    want_hf = np.asarray(
+        trilinear_sample_split(table, p0, p1, p2, heads_first=True)
+    )
+    got_hf = np.asarray(
+        trilinear_sample_matmul(table, p0, p1, p2, heads_first=True,
+                                chunk=17)
+    )
+    np.testing.assert_allclose(got_hf, want_hf, atol=2e-5, rtol=1e-5)
+
+
+def test_trilinear_matmul_grad_matches():
+    from vdetr_tpu.ops.rpe import (
+        trilinear_sample_matmul,
+        trilinear_sample_split,
+    )
+
+    rng = np.random.RandomState(6)
+    table = jnp.asarray(rng.randn(10, 10, 10, 2).astype(np.float32))
+    pts = jnp.asarray(rng.uniform(-0.9, 0.9, size=(5, 3)).astype(np.float32))
+
+    def loss_m(t, p):
+        return trilinear_sample_matmul(t, p[..., 0], p[..., 1],
+                                       p[..., 2]).sum()
+
+    def loss_s(t, p):
+        return trilinear_sample_split(t, p[..., 0], p[..., 1],
+                                      p[..., 2]).sum()
+
+    gm = jax.grad(loss_m, argnums=(0, 1))(table, pts)
+    gs = jax.grad(loss_s, argnums=(0, 1))(table, pts)
+    for a, b in zip(gm, gs):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=1e-5)

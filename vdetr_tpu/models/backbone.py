@@ -16,11 +16,13 @@ import jax.numpy as jnp
 
 from vdetr_tpu.models.norm import MaskedBatchNorm, MaskedInstanceNorm
 from vdetr_tpu.ops.sparse_conv import (
+    attach_kernel_map,
     sparse_conv,
     sparse_conv_down,
     sparse_conv_transpose,
     sparse_conv_transpose_generative,
 )
+from vdetr_tpu.ops.voxelize import downsample_grid
 from vdetr_tpu.ops.voxelize import VoxelGrid
 
 _kaiming = nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal")
@@ -55,14 +57,16 @@ class SparseConvDown(nn.Module):
     compute_dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, grid: VoxelGrid) -> VoxelGrid:
+    def __call__(self, grid: VoxelGrid,
+                 out_grid: Optional[VoxelGrid] = None) -> VoxelGrid:
         k3 = self.kernel_size ** 3
         w = self.param(
             "kernel", _kaiming,
             (k3, grid.features.shape[-1], self.out_channels),
         )
         return sparse_conv_down(grid, w, self.out_capacity, self.kernel_size,
-                                compute_dtype=self.compute_dtype)
+                                compute_dtype=self.compute_dtype,
+                                out_grid=out_grid)
 
 
 class SparseConvTranspose(nn.Module):
@@ -108,11 +112,20 @@ class SparseBasicBlock(nn.Module):
     def __call__(self, grid: VoxelGrid, train: bool = False) -> VoxelGrid:
         cd = self.compute_dtype
         in_ch = grid.features.shape[-1]
+        out_grid = None
         if self.stride == 2:
+            # one site computation + one cached kernel map for the whole
+            # stage: the strided conv, the 1x1 downsample branch, conv2,
+            # and every later block on these sites share them
+            out_grid = attach_kernel_map(
+                downsample_grid(grid, self.out_capacity)
+            )
             out = SparseConvDown(self.planes, self.out_capacity,
                                  kernel_size=3, compute_dtype=cd,
-                                 name="conv1")(grid)
+                                 name="conv1")(grid, out_grid=out_grid)
         else:
+            if grid.nbr_idx is None:
+                grid = attach_kernel_map(grid)
             out = SparseConv(self.planes, compute_dtype=cd,
                              name="conv1")(grid)
         f = MaskedBatchNorm(self.planes, use_running_average=not train,
@@ -130,7 +143,8 @@ class SparseBasicBlock(nn.Module):
             if self.stride == 2:
                 ds = SparseConvDown(self.planes, self.out_capacity,
                                     kernel_size=1, compute_dtype=cd,
-                                    name="downsample_conv")(grid)
+                                    name="downsample_conv")(
+                    grid, out_grid=out_grid)
             else:
                 ds = SparseConv(self.planes, kernel_size=1, compute_dtype=cd,
                                 name="downsample_conv")(grid)

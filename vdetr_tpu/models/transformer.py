@@ -28,7 +28,7 @@ from vdetr_tpu.geometry.boxes import (
 from vdetr_tpu.models.mlp import GenericMLP, PositionEmbeddingLearned
 from vdetr_tpu.ops import rpe_attention
 from vdetr_tpu.ops.rpe import (log_quantize, make_coords_table,
-    trilinear_sample, trilinear_sample_split)
+    trilinear_sample, trilinear_sample_matmul, trilinear_sample_split)
 
 xavier_uniform = nn.initializers.xavier_uniform()
 
@@ -331,8 +331,11 @@ class GlobalShareCrossAttention(nn.Module):
             d0 = log_quantize(dx, self.log_scale, max_value)
             d1 = log_quantize(dy, self.log_scale, max_value)
             d2 = log_quantize(dz, self.log_scale, max_value)
-            bias = trilinear_sample_split(table, d0, d1, d2,
-                                          heads_first=True)  # (H, B, nQ, nK)
+            # factorized MXU trilinear: XLA's per-element table gathers
+            # cost ~960 ms per corner at the published size (ops/rpe.py
+            # trilinear_sample_matmul docstring); the matmul form is ~1 ms
+            bias = trilinear_sample_matmul(table, d0, d1, d2,
+                                           heads_first=True)  # (H,B,nQ,nK)
             return acc + bias.transpose(1, 0, 2, 3), None
 
         corners_first = jnp.moveaxis(reference_point, 2, 0)  # (8, B, nQ, 3)

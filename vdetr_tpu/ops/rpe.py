@@ -16,6 +16,7 @@ preserved for checkpoint-port parity).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -95,3 +96,81 @@ def trilinear_sample_split(table, p0, p1, p2, heads_first: bool = False):
                     out[h] = out[h] + vals * w
     stacked = jnp.stack(out, axis=0)  # (H, ...)
     return stacked if heads_first else jnp.moveaxis(stacked, 0, -1)
+
+
+def _axis_weights(idx_cont, n):
+    """Per-element interpolation weight vector over one grid axis.
+
+    idx_cont: (...,) continuous index. Returns (..., n) with the two
+    linear-interp weights at floor / floor+1 and zeros elsewhere;
+    out-of-range taps contribute zero (grid_sample padding_mode='zeros'
+    semantics, matching trilinear_sample_split's inb mask exactly)."""
+    f = jnp.floor(idx_cont)
+    w = idx_cont - f
+    i = jnp.arange(n, dtype=idx_cont.dtype)
+    f = f[..., None]
+    w = w[..., None]
+    return jnp.where(i == f, 1.0 - w, 0.0) + jnp.where(i == f + 1, w, 0.0)
+
+
+def trilinear_sample_matmul(table, p0, p1, p2, heads_first: bool = False,
+                            chunk: int = 131072):
+    """Numerically-equal reformulation of trilinear_sample_split for TPU.
+
+    XLA lowers per-element gathers from the 10^3 table to ~9 us / 1k
+    elements on v5e (38 ms for one (1024, 4096) sample — the production
+    bias needs 256 of them per decoder layer: measured 7.7 s). Instead of
+    gathering, factorize the trilinear interpolation: per element build
+    the 2-nonzero weight vectors A/B/C over the three grid axes, form
+    P = A (x) B (an (E, n^2) array with <= 4 nonzeros) and contract
+    P @ table.reshape(n^2, n*H) on the MXU, then reduce the last axis
+    with C on the VPU. O(E * n^2 * nH) MACs of dense matmul replaces
+    8*H scalar gathers per element (~1 ms vs ~960 ms per corner at the
+    published size). Exact same tap weights and zero-padding semantics;
+    autodiff just works (it is all matmuls).
+
+    table: (n, n, n, H); p0/p1/p2: broadcast-compatible (...,) in [-1, 1].
+    Returns (..., H) (or (H, ...) when heads_first).
+    """
+    n = table.shape[0]
+    H = table.shape[-1]
+
+    def to_idx(p):
+        return ((p + 1.0) * n - 1.0) * 0.5
+
+    p0, p1, p2 = jnp.broadcast_arrays(p0, p1, p2)
+    shape = p0.shape
+    E = int(np.prod(shape))
+    iw = to_idx(p0).reshape(-1)
+    ih = to_idx(p1).reshape(-1)
+    id_ = to_idx(p2).reshape(-1)
+    # component 0 -> last table axis (w), 1 -> middle (h), 2 -> first (d)
+    t_mat = table.reshape(n * n, n * H)  # [(d,h), (w,H)]
+
+    chunk = max(1, min(chunk, E))
+    pad = (-E) % chunk
+    if pad:
+        iw = jnp.concatenate([iw, jnp.zeros((pad,), iw.dtype)])
+        ih = jnp.concatenate([ih, jnp.zeros((pad,), ih.dtype)])
+        id_ = jnp.concatenate([id_, jnp.zeros((pad,), id_.dtype)])
+    nchunk = (E + pad) // chunk
+
+    def one_chunk(_, xs):
+        cw, chh, cd = xs
+        A = _axis_weights(cd, n)   # (c, n)  table axis 0
+        Bv = _axis_weights(chh, n)  # (c, n)  table axis 1
+        Cv = _axis_weights(cw, n)   # (c, n)  table axis 2
+        P = (A[:, :, None] * Bv[:, None, :]).reshape(-1, n * n)
+        U = jax.lax.dot_general(
+            P, t_mat, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(-1, n, H)
+        return None, (U * Cv[:, :, None]).sum(axis=1)  # (c, H)
+
+    _, out = jax.lax.scan(
+        one_chunk, None,
+        (iw.reshape(nchunk, chunk), ih.reshape(nchunk, chunk),
+         id_.reshape(nchunk, chunk)),
+    )
+    out = out.reshape(-1, H)[:E].reshape(shape + (H,))
+    return jnp.moveaxis(out, -1, 0) if heads_first else out

@@ -40,13 +40,12 @@ def _offsets(kernel_size: int) -> Tuple[Tuple[int, int, int], ...]:
     )
 
 
-def _gather_matmul(in_feats, in_keys, query_keys_per_offset, weights,
-                   compute_dtype=None):
+def _gather_matmul(in_feats, nbr_idx, weights, compute_dtype=None):
     """Shared inner loop: for each offset k, gather neighbor features and
     accumulate `x_k @ W[k]`.
 
-    in_feats: (V_in, C_in); in_keys: (V_in,) sorted;
-    query_keys_per_offset: (K, V_out); weights: (K, C_in, C_out).
+    in_feats: (V_in, C_in); nbr_idx: (K, V_out) indices into in_feats
+    rows (V_in = miss, hits the zero pad row); weights: (K, C_in, C_out).
     Returns (V_out, C_out).
     """
     V_in, C_in = in_feats.shape
@@ -57,15 +56,13 @@ def _gather_matmul(in_feats, in_keys, query_keys_per_offset, weights,
     if compute_dtype is not None:
         feats_ext = feats_ext.astype(compute_dtype)
         weights = weights.astype(compute_dtype)
-    out0 = jnp.zeros((query_keys_per_offset.shape[1], C_out),
-                     jnp.float32)
+    out0 = jnp.zeros((nbr_idx.shape[1], C_out), jnp.float32)
 
     # scan over kernel offsets: 27x smaller graph than unrolling (the
     # whole ResNet has ~900 offset steps; unrolled it dominates XLA
     # compile time), identical compute
     def step(acc, inputs):
-        qkeys, w = inputs
-        idx = lookup(in_keys, qkeys)
+        idx, w = inputs
         x = feats_ext[idx]
         acc = acc + jax.lax.dot_general(
             x, w, (((1,), (0,)), ((), ())),
@@ -73,64 +70,100 @@ def _gather_matmul(in_feats, in_keys, query_keys_per_offset, weights,
         ).astype(jnp.float32)
         return acc, None
 
-    out, _ = jax.lax.scan(step, out0, (query_keys_per_offset, weights))
+    out, _ = jax.lax.scan(step, out0, (nbr_idx, weights))
     return out
+
+
+def kernel_map(grid: VoxelGrid, kernel_size: int = 3) -> jnp.ndarray:
+    """(B, K, V) neighbor indices for a submanifold k^3 stencil on
+    `grid`'s own sites — ONE merged sorted-set lookup for all K offsets
+    (the K*V queries share a single double-sort; ops/voxelize.lookup)."""
+    if kernel_size == 1:  # submanifold identity stencil: no lookup at all
+        B, V = grid.keys.shape
+        idx = jnp.broadcast_to(jnp.arange(V, dtype=jnp.int32), (B, V))
+        return jnp.where(grid.valid, idx, V)[:, None, :]
+    offs = jnp.asarray(_offsets(kernel_size), jnp.int32)
+
+    def one(coords, keys, valid):
+        q = coords[None, :, :] + offs[:, None, :]
+        qkeys = pack_keys(q, grid.extent)
+        qkeys = jnp.where(valid[None, :], qkeys, KEY_SENTINEL)
+        return lookup(keys, qkeys)
+
+    return jax.vmap(one)(grid.coords, grid.keys, grid.valid)
+
+
+def attach_kernel_map(grid: VoxelGrid, kernel_size: int = 3) -> VoxelGrid:
+    """Compute and cache the submanifold kernel map on the grid: every
+    stride-1 conv over the same site set then skips its lookup entirely
+    (MinkowskiEngine's coordinate-manager kernel-map cache, done the
+    XLA way)."""
+    return grid.replace(nbr_idx=kernel_map(grid, kernel_size))
 
 
 def sparse_conv(grid: VoxelGrid, weights, kernel_size: int = 3,
                 compute_dtype=None) -> VoxelGrid:
     """Submanifold (stride-1) sparse conv: output sites == input sites.
 
-    weights: (kernel_size^3, C_in, C_out).
+    weights: (kernel_size^3, C_in, C_out). Uses the grid's cached kernel
+    map when present (attach_kernel_map); otherwise builds one on the fly.
 
-    The whole op is rematerialized: without jax.checkpoint the scan's
-    backward stores the gathered (V, C_in) features for all K offsets of
-    every conv (~11 GB across the ResNet34 at 131k-voxel capacity —
-    measured via XLA memory analysis; it OOMed the v5e worker). Storing
-    only the op inputs and re-gathering in backward costs one extra
-    forward of a ~1 ms backbone.
+    The gather+matmul is rematerialized: without jax.checkpoint the
+    scan's backward stores the gathered (V, C_in) features for all K
+    offsets of every conv (~11 GB across the ResNet34 at 131k-voxel
+    capacity — measured via XLA memory analysis; it OOMed the v5e
+    worker). Storing only the op inputs and re-gathering in backward
+    costs one extra pass.
     """
-    offs = jnp.asarray(_offsets(kernel_size), jnp.int32)  # (K, 3)
+    k3 = kernel_size ** 3
+    if grid.nbr_idx is not None and grid.nbr_idx.shape[1] == k3:
+        nbr = grid.nbr_idx
+    else:
+        nbr = kernel_map(grid, kernel_size)
 
     @jax.checkpoint
-    def run(coords, keys, feats, valid, weights):
-        def one(coords, keys, feats, valid):
-            q = coords[None, :, :] + offs[:, None, :]  # (K, V, 3)
-            qkeys = pack_keys(q, grid.extent)
-            qkeys = jnp.where(valid[None, :], qkeys, KEY_SENTINEL)
-            return _gather_matmul(feats, keys, qkeys, weights, compute_dtype)
+    def run(feats, nbr, weights):
+        return jax.vmap(
+            lambda f, i: _gather_matmul(f, i, weights, compute_dtype)
+        )(feats, nbr)
 
-        return jax.vmap(one)(coords, keys, feats, valid)
-
-    out = run(grid.coords, grid.keys, grid.features, grid.valid, weights)
+    out = run(grid.features, nbr, weights)
     out = out * grid.valid[..., None]
     return grid.replace(features=out)
 
 
-def sparse_conv_down(grid: VoxelGrid, weights, out_capacity: int,
-                     kernel_size: int = 3, compute_dtype=None) -> VoxelGrid:
+def sparse_conv_down(grid: VoxelGrid, weights, out_capacity: int = 0,
+                     kernel_size: int = 3, compute_dtype=None,
+                     out_grid: VoxelGrid = None) -> VoxelGrid:
     """Stride-2 sparse conv. Output sites = unique(floor(c/2)); for output
     o the input neighbors are 2*o + d, d in the kernel region (kernel 3)
-    or exactly 2*o (kernel 1, the ResNet downsample branch)."""
-    out_grid = downsample_grid(grid, out_capacity)
+    or exactly 2*o (kernel 1, the ResNet downsample branch).
+
+    Pass `out_grid` (from downsample_grid, possibly with a kernel map
+    attached) to share the site computation between the block's strided
+    conv and its 1x1 downsample branch."""
+    if out_grid is None:
+        out_grid = downsample_grid(grid, out_capacity)
     if kernel_size == 1:
         offs = jnp.asarray([(0, 0, 0)], jnp.int32)
     else:
         offs = jnp.asarray(_offsets(kernel_size), jnp.int32)
 
+    def one_map(out_coords, out_valid, in_keys):
+        q = out_coords[None, :, :] * 2 + offs[:, None, :]  # (K, V_out, 3)
+        qkeys = pack_keys(q, grid.extent)
+        qkeys = jnp.where(out_valid[None, :], qkeys, KEY_SENTINEL)
+        return lookup(in_keys, qkeys)
+
+    nbr = jax.vmap(one_map)(out_grid.coords, out_grid.valid, grid.keys)
+
     @jax.checkpoint  # see sparse_conv: avoid storing per-offset gathers
-    def run(out_coords, out_valid, in_keys, in_feats, weights):
-        def one(out_coords, out_valid, in_keys, in_feats):
-            q = out_coords[None, :, :] * 2 + offs[:, None, :]  # (K, V_out, 3)
-            qkeys = pack_keys(q, grid.extent)
-            qkeys = jnp.where(out_valid[None, :], qkeys, KEY_SENTINEL)
-            return _gather_matmul(in_feats, in_keys, qkeys, weights,
-                                  compute_dtype)
+    def run(in_feats, nbr, weights):
+        return jax.vmap(
+            lambda f, i: _gather_matmul(f, i, weights, compute_dtype)
+        )(in_feats, nbr)
 
-        return jax.vmap(one)(out_coords, out_valid, in_keys, in_feats)
-
-    out = run(out_grid.coords, out_grid.valid, grid.keys, grid.features,
-              weights)
+    out = run(grid.features, nbr, weights)
     out = out * out_grid.valid[..., None]
     return out_grid.replace(features=out)
 

@@ -53,6 +53,11 @@ class VoxelGrid:
     stride: int = flax.struct.field(pytree_node=False)
     extent: Tuple[int, int, int] = flax.struct.field(pytree_node=False)
     voxel_size: float = flax.struct.field(pytree_node=False)
+    # cached kernel map: (B, K, V) neighbor indices into this grid's own
+    # rows for a k^3 submanifold stencil (ME's coordinate-manager kernel
+    # map cache); attach_kernel_map fills it, every stride-1 conv on the
+    # same sites reuses it
+    nbr_idx: jnp.ndarray = None
 
     @property
     def capacity(self) -> int:
@@ -80,17 +85,58 @@ def pack_keys(coords, extent):
     return jnp.where(inb, key, KEY_SENTINEL)
 
 
-def lookup(keys_sorted, query_keys):
+def lookup_binary(keys_sorted, query_keys):
     """Binary-search `query_keys` in ascending `keys_sorted` (V,).
 
     Returns idx in [0, V) for hits, V for misses (use as gather index into
-    a zero-padded feature table).
-    """
+    a zero-padded feature table). Reference semantics for `lookup`; kept
+    for tests — on TPU the log2(V) rounds of single-element gathers cost
+    ~130 ns/query (230 ms for one 27-offset kernel map at V=65536)."""
     V = keys_sorted.shape[0]
     pos = jnp.searchsorted(keys_sorted, query_keys)
     pos_c = jnp.clip(pos, 0, V - 1)
     hit = (keys_sorted[pos_c] == query_keys) & (query_keys != KEY_SENTINEL)
     return jnp.where(hit, pos_c, V)
+
+
+def lookup(keys_sorted, query_keys):
+    """Sorted-set membership via double sort (same contract as
+    `lookup_binary`: idx in [0, V) for hits, V for misses).
+
+    TPU-native formulation: merge keys and queries with ONE stable
+    multi-operand sort, compute each query's insertion rank with a
+    cumulative sum, detect hits with a running key maximum (ascending
+    keys make `last key value at-or-before == own value` exactly the
+    membership test), then restore query order with a SECOND sort by
+    original position. Sorts are the one irregular primitive XLA:TPU
+    runs fast (7.6 ms for 1.8M rows vs 230 ms for the equivalent
+    binary-search gathers); measured ~5-10x faster end-to-end than
+    `lookup_binary` and gather-free.
+    """
+    V = keys_sorted.shape[0]
+    qshape = query_keys.shape
+    qf = query_keys.reshape(-1)
+    nq = qf.shape[0]
+    n = V + nq
+    allv = jnp.concatenate([keys_sorted, qf])
+    is_query = jnp.concatenate([
+        jnp.zeros((V,), jnp.int32), jnp.ones((nq,), jnp.int32)
+    ])
+    orig = jnp.arange(n, dtype=jnp.int32)
+    # stable: an equal key sorts before its query (keys come first)
+    sk, stag, sorig = jax.lax.sort((allv, is_query, orig), num_keys=1,
+                                   is_stable=True)
+    qcum = jnp.cumsum(stag)
+    # for a query at merged position p: #keys at-or-before = p+1 - qcum[p]
+    rank = orig + 1 - qcum
+    lastkey = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(stag == 0, sk, jnp.iinfo(jnp.int32).min)
+    )
+    hit = (lastkey == sk) & (sk != KEY_SENTINEL)
+    idx_sorted = jnp.where(hit, rank - 1, V).astype(jnp.int32)
+    # un-sort: order by original position (a sort, not a scatter)
+    _, idx = jax.lax.sort((sorig, idx_sorted), num_keys=1)
+    return idx[V:].reshape(qshape)
 
 
 def _compact_unique(keys, order_payload_fn, capacity):
