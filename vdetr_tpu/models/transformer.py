@@ -267,23 +267,18 @@ class GlobalShareCrossAttention(nn.Module):
         q = q.reshape(B, nQ, H, hd) * (hd ** -0.5)
 
         # fused Pallas path: flash softmax with the RPE bias recomputed per
-        # (q-tile, k-tile) in VMEM, never materializing (B, H, nQ, nK).
-        # Deterministic (no attention dropout), so it serves the eval path;
-        # training keeps the rematerialized materialized-bias path below.
-        # NOTE current Mosaic cannot lower the all-head table gather
-        # (tpu.dynamic_gather sources are limited to one vreg = 128 lanes;
-        # the flat RPE table needs 1000), so compiled-mode dispatch is
-        # opt-in via rpe_impl="fused" and raises a clear error if Mosaic
-        # still rejects it; the kernel is parity-tested in interpret mode
-        # (tests/test_rpe_attention.py) and becomes the default once the
-        # constraint is lifted.
+        # (q-tile, k-tile) in VMEM via the gather-free factorized
+        # trilinear contraction (ops/rpe_attention.py), never
+        # materializing (B, H, nQ, nK). Deterministic (no attention
+        # dropout), so it serves the eval path; training keeps the
+        # rematerialized materialized-bias path below.
         dropout_active = train and self.dropout > 0
         use_fused = (
             self.impl == "fused"
             and not dropout_active
             and self.seq_axis is None
-            and nK % rpe_attention.TPAD == 0
-            and nQ % 128 == 0
+            and nK % 128 == 0
+            and nQ % 32 == 0
             and jax.default_backend() in ("tpu", "axon")
         )
         if use_fused:
@@ -334,8 +329,10 @@ class GlobalShareCrossAttention(nn.Module):
             # factorized MXU trilinear: XLA's per-element table gathers
             # cost ~960 ms per corner at the published size (ops/rpe.py
             # trilinear_sample_matmul docstring); the matmul form is ~1 ms
-            bias = trilinear_sample_matmul(table, d0, d1, d2,
-                                           heads_first=True)  # (H,B,nQ,nK)
+            bias = trilinear_sample_matmul(
+                table, d0, d1, d2, heads_first=True,
+                compute_dtype=self.compute_dtype,
+            )  # (H, B, nQ, nK)
             return acc + bias.transpose(1, 0, 2, 3), None
 
         corners_first = jnp.moveaxis(reference_point, 2, 0)  # (8, B, nQ, 3)

@@ -114,7 +114,7 @@ def _axis_weights(idx_cont, n):
 
 
 def trilinear_sample_matmul(table, p0, p1, p2, heads_first: bool = False,
-                            chunk: int = 131072):
+                            chunk: int = 16384, compute_dtype=None):
     """Numerically-equal reformulation of trilinear_sample_split for TPU.
 
     XLA lowers per-element gathers from the 10^3 table to ~9 us / 1k
@@ -155,14 +155,20 @@ def trilinear_sample_matmul(table, p0, p1, p2, heads_first: bool = False,
         id_ = jnp.concatenate([id_, jnp.zeros((pad,), id_.dtype)])
     nchunk = (E + pad) // chunk
 
+    t_dot = t_mat if compute_dtype is None else t_mat.astype(compute_dtype)
+
     def one_chunk(_, xs):
         cw, chh, cd = xs
         A = _axis_weights(cd, n)   # (c, n)  table axis 0
         Bv = _axis_weights(chh, n)  # (c, n)  table axis 1
         Cv = _axis_weights(cw, n)   # (c, n)  table axis 2
         P = (A[:, :, None] * Bv[:, None, :]).reshape(-1, n * n)
+        if compute_dtype is not None:
+            # halves the HBM traffic of the (E, 100) weight matrix — the
+            # dominant cost; interp weights lose <= 2^-9 relative
+            P = P.astype(compute_dtype)
         U = jax.lax.dot_general(
-            P, t_mat, (((1,), (0,)), ((), ())),
+            P, t_dot, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).reshape(-1, n, H)
         return None, (U * Cv[:, :, None]).sum(axis=1)  # (c, H)

@@ -4,15 +4,19 @@ The V-DETR hotspot (reference models/vdetr_transformer.py:701-758) adds an
 8-corner trilinearly-sampled bias to every (query, key) attention logit.
 The materialized implementation (models/transformer.py) builds the
 (B, H, nQ, nK) bias in HBM once per layer; this kernel never does — per
-(q-tile, k-tile) it recomputes corner deltas, log-quantizes them, samples
-the VMEM-resident tables, adds the bias to the logits tile and folds it
-into a streaming (flash) softmax.
+(q-tile, k-tile) it recomputes corner deltas, log-quantizes them, adds
+the bias to the logits tile and folds it into a streaming (flash)
+softmax.
 
-Key Mosaic constraint: the per-head table lookup is a lane-indexed
-dynamic gather (`take_along_axis` on the minor axis), which lowers only
-when the index array and the operand have identical shapes — so the key
-tile width equals the padded table width x heads (H * TPAD lanes), and
-every gather returns all H heads at once.
+The trilinear table sample is GATHER-FREE (ops/rpe.trilinear_sample_matmul
+brought in-kernel): per corner the (TQ*TK,) tile elements build a
+2-nonzero x 2-nonzero weight matrix P over the (d, h) grid-axis pair
+with lane-iota compares — P stays in VMEM — and one MXU contraction
+P (E, n^2) @ table (n^2, n*H) plus a lane-arithmetic weighted reduce
+over the w axis yields all H heads at once. This both avoids Mosaic's
+dynamic-gather source-width limit (which blocked the round-1 kernel)
+and the 128-lane padding that makes the XLA path HBM-bound (measured
+45 ms/layer XLA vs the kernel's VMEM-resident compute).
 
 Inputs are the natural decoder layouts; this module handles the
 heads-first rearrangement. `rpe_cross_attention_pallas` is the kernel
@@ -33,7 +37,6 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TPAD = 1024          # flat table padded length (n^3 = 1000 -> 1024 lanes)
 NEG_INF = -1e9
 
 
@@ -46,22 +49,36 @@ def _quantize(delta, log_scale, max_value, n):
 
 
 def _flatten_tables(tables):
-    """(8, n, n, n, H) -> (8, H*TPAD) flat rows, head-major per corner."""
+    """(8, n, n, n, H) -> (8, n^2, n*H): row (d*n + h_axis), column
+    (w*H + head) — the contraction layout of the in-kernel factorized
+    trilinear sample."""
     C, n, _, _, H = tables.shape
-    flat = tables.reshape(C, n ** 3, H)            # (8, n^3, H)
-    flat = jnp.moveaxis(flat, -1, 1)               # (8, H, n^3)
-    pad = TPAD - n ** 3
-    flat = jnp.pad(flat, ((0, 0), (0, 0), (0, pad)))
-    return flat.reshape(C, H * TPAD)
+    return tables.reshape(C, n * n, n * H)
+
+
+def _hat(iota, idx):
+    """Linear-interpolation hat weights: relu(1 - |iota - idx|).
+
+    Exactly the two grid_sample taps (floor: 1-frac, floor+1: frac) with
+    zero-padding outside the grid — out-of-range taps vanish because no
+    integer lattice point is within distance 1."""
+    return jnp.maximum(1.0 - jnp.abs(iota - idx), 0.0)
 
 
 def _kernel(q_ref, k_ref, v_ref, corners_ref, cossin_ref, kxyz_ref,
             kvalid_ref, tables_ref, out_ref, m_ref, z_ref, acc_ref,
             *, n, H, hd, TQ, TK, log_scale, max_value, rotate):
     """Grid (B, nQ/TQ, nK/TK), k innermost. Scratch m/z/acc persist
-    across the k dimension (flash-attention pattern)."""
+    across the k dimension (flash-attention pattern).
+
+    Bias layout: tile elements flatten row-major to E = TQ*TK lanes;
+    per corner a (n^2, E) weight matrix P (hat(d) x hat(h), <= 4
+    nonzeros per lane) contracts with the (n^2, n*H) table on the MXU,
+    and the w-axis hat folds the (n*H, E) result to one (1, E) bias per
+    head. Everything lives in VMEM; no gathers."""
     ik = pl.program_id(2)
     nk = pl.num_programs(2)
+    E = TQ * TK
 
     @pl.when(ik == 0)
     def _():
@@ -76,8 +93,8 @@ def _kernel(q_ref, k_ref, v_ref, corners_ref, cossin_ref, kxyz_ref,
     ky = kxyz_ref[0, 1:2, :]
     kz = kxyz_ref[0, 2:3, :]
     if rotate:
-        co = cossin_ref[0, 0, :].reshape(TQ, 1)
-        si = cossin_ref[0, 1, :].reshape(TQ, 1)
+        co = cossin_ref[0][:, 0].reshape(TQ, 1)
+        si = cossin_ref[0][:, 1].reshape(TQ, 1)
 
     # per-head logits: q_h (TQ, hd) @ k_tile^T -> (TQ, TK)
     logits = []
@@ -88,53 +105,42 @@ def _kernel(q_ref, k_ref, v_ref, corners_ref, cossin_ref, kxyz_ref,
         )
         logits.append(lh)
 
-    # RPE bias, 8 corners; all-head gathers from the (TQ, H*TPAD) operand
-    head_off = jax.lax.broadcasted_iota(
-        jnp.int32, (1, H * TK), 1
-    ) // TK * TPAD                                     # lane -> head*TPAD
+    # RPE bias, 8 corners, gather-free factorized trilinear: three
+    # (n, E) hat-weight matrices (the two grid_sample taps per axis are
+    # exactly relu(1 - |lattice - index|)), an outer product to (n^2, E),
+    # one MXU contraction with the (n^2, n*H) table, and a hat-weighted
+    # fold over the w axis. Lane dim is always E; no gathers.
+    # tpu.iota only produces integers; cast after
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (n, E), 0).astype(
+        jnp.float32
+    )
+    bias_heads = jnp.zeros((H, E), jnp.float32)
     for c in range(8):
-        cx = corners_ref[0, 3 * c + 0, :].reshape(TQ, 1)
-        cy = corners_ref[0, 3 * c + 1, :].reshape(TQ, 1)
-        cz = corners_ref[0, 3 * c + 2, :].reshape(TQ, 1)
+        cx = corners_ref[0][:, 3 * c + 0].reshape(TQ, 1)
+        cy = corners_ref[0][:, 3 * c + 1].reshape(TQ, 1)
+        cz = corners_ref[0][:, 3 * c + 2].reshape(TQ, 1)
         dx = cx - kx                                   # (TQ, TK)
         dy = cy - ky
         dz = cz - kz
         if rotate:
             dx, dy = dx * co - dy * si, dx * si + dy * co
         # component 0 -> last table axis (w), 1 -> h, 2 -> d
-        iw = _quantize(dx, log_scale, max_value, n)
-        ih = _quantize(dy, log_scale, max_value, n)
-        id_ = _quantize(dz, log_scale, max_value, n)
-        fw = jnp.floor(iw)
-        fh = jnp.floor(ih)
-        fd = jnp.floor(id_)
-        ww, wh, wd = iw - fw, ih - fh, id_ - fd
-        fw = fw.astype(jnp.int32)
-        fh = fh.astype(jnp.int32)
-        fd = fd.astype(jnp.int32)
-
-        table_row = tables_ref[c]                      # (1, H*TPAD)
-        table_op = jnp.broadcast_to(table_row, (TQ, H * TPAD))
-        for dw_ in (0, 1):
-            for dh_ in (0, 1):
-                for dd_ in (0, 1):
-                    cw, ch, cd = fw + dw_, fh + dh_, fd + dd_
-                    inb = ((cw >= 0) & (cw < n) & (ch >= 0) & (ch < n)
-                           & (cd >= 0) & (cd < n))
-                    w = ((ww if dw_ else 1.0 - ww)
-                         * (wh if dh_ else 1.0 - wh)
-                         * (wd if dd_ else 1.0 - wd)) * inb
-                    flat = (jnp.clip(cd, 0, n - 1) * n
-                            + jnp.clip(ch, 0, n - 1)) * n \
-                        + jnp.clip(cw, 0, n - 1)       # (TQ, TK)
-                    # tile indices across heads: lane block h gathers
-                    # head-h values (operand lanes == index lanes)
-                    idx_all = jnp.tile(flat, (1, H)) + head_off
-                    vals = jnp.take_along_axis(table_op, idx_all, axis=1)
-                    for h in range(H):
-                        logits[h] = logits[h] + (
-                            vals[:, h * TK:(h + 1) * TK] * w
-                        )
+        iw = _quantize(dx, log_scale, max_value, n).reshape(1, E)
+        ih = _quantize(dy, log_scale, max_value, n).reshape(1, E)
+        id_ = _quantize(dz, log_scale, max_value, n).reshape(1, E)
+        hat_a = _hat(row_iota, id_)                    # (n, E)
+        hat_b = _hat(row_iota, ih)
+        hat_w = _hat(row_iota, iw)
+        P = (hat_a[:, None, :] * hat_b[None, :, :]).reshape(n * n, E)
+        U = jax.lax.dot_general(
+            tables_ref[c], P, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                              # (n*H, E)
+        bias_heads = bias_heads + (
+            U.reshape(n, H, E) * hat_w[:, None, :]
+        ).sum(axis=0)                                  # (H, E)
+    for h in range(H):
+        logits[h] = logits[h] + bias_heads[h].reshape(TQ, TK)
 
     # streaming softmax update per head
     for h in range(H):
@@ -164,7 +170,7 @@ def _kernel(q_ref, k_ref, v_ref, corners_ref, cossin_ref, kxyz_ref,
 def rpe_cross_attention_pallas(q, k, v, corners, angles, key_xyz, tables,
                                key_valid=None, *, log_scale: float,
                                max_value: float, rotate: bool = False,
-                               tq: int = 128, tk: Optional[int] = None,
+                               tq: int = 32, tk: Optional[int] = None,
                                interpret: bool = False):
     """Fused kernel entry.
 
@@ -173,35 +179,26 @@ def rpe_cross_attention_pallas(q, k, v, corners, angles, key_xyz, tables,
     tables: (8, n, n, n, H); key_valid: (B, nK) or None.
     Returns (B, nQ, H, hd).
 
-    Constraints (compiled mode): nK % 1024 == 0 (key tile = padded table
-    width so the all-head gather lowers), nQ % tq == 0.
+    Constraints: nK % tk == 0, nQ % tq == 0. VMEM high-water per tile is
+    dominated by the (n^2, tq*tk) weight matrix (~4 MB at the defaults).
     """
     B, nQ, H, hd = q.shape
     nK = k.shape[1]
     n = tables.shape[1]
-    if tk is None:
-        tk = TPAD if not interpret else min(TPAD, nK)
-    TK = tk
-    assert interpret or TK == TPAD, (
-        "compiled mode requires key tile == padded table width (the "
-        "all-head lane gather only lowers with equal index/operand shapes)"
-    )
+    TK = tk if tk is not None else min(128, nK)
+    tq = min(tq, nQ)
     assert nK % TK == 0, f"nK={nK} must be a multiple of {TK}"
     assert nQ % tq == 0, f"nQ={nQ} must be a multiple of {tq}"
 
     q_t = jnp.moveaxis(q, 2, 1)                        # (B, H, nQ, hd)
-    corners_t = jnp.moveaxis(
-        corners.reshape(B, nQ, 24), 1, 2
-    )                                                  # (B, 24, nQ)
-    cossin = jnp.stack([jnp.cos(angles), jnp.sin(angles)], axis=1)  # (B,2,nQ)
+    corners_t = corners.reshape(B, nQ, 24)             # (B, nQ, 24)
+    cossin = jnp.stack([jnp.cos(angles), jnp.sin(angles)], axis=2)  # (B,nQ,2)
     kxyz_t = jnp.moveaxis(key_xyz, 1, 2)               # (B, 3, nK)
     if key_valid is None:
         kvalid = jnp.ones((B, 1, nK), jnp.float32)
     else:
         kvalid = key_valid.astype(jnp.float32).reshape(B, 1, nK)
-    tables_flat = _flatten_tables(tables)              # (8, H*TPAD)
-    # broadcast tables to every batch row is unnecessary: use a 2D spec
-    tables_in = tables_flat.reshape(8, 1, H * TPAD)
+    tables_in = _flatten_tables(tables)                # (8, n^2, n*H)
 
     grid = (B, nQ // tq, nK // TK)
     kernel = functools.partial(
@@ -218,15 +215,15 @@ def rpe_cross_attention_pallas(q, k, v, corners, angles, key_xyz, tables,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TK, hd), lambda b, iq, ik: (b, ik, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 24, tq), lambda b, iq, ik: (b, 0, iq),
+            pl.BlockSpec((1, tq, 24), lambda b, iq, ik: (b, iq, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, tq), lambda b, iq, ik: (b, 0, iq),
+            pl.BlockSpec((1, tq, 2), lambda b, iq, ik: (b, iq, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3, TK), lambda b, iq, ik: (b, 0, ik),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, TK), lambda b, iq, ik: (b, 0, ik),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 1, H * TPAD), lambda b, iq, ik: (0, 0, 0),
+            pl.BlockSpec((8, n * n, n * H), lambda b, iq, ik: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, H, tq, hd), lambda b, iq, ik: (b, 0, iq, 0),
