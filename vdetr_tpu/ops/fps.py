@@ -60,19 +60,19 @@ def fps_jax(xyz, npoint: int):
 
 
 def _fps_kernel(xyz_ref, out_ref, temp, mag, coords):
-    """One batch row. xyz_ref: (1, 3, N) in VMEM; out_ref: (1, npoint).
+    """One batch row. xyz_ref: (1, 3, N) in VMEM; out_ref: (1, 1, npoint).
 
     temp: (1, N) running min distance; mag: (1, N); coords: (3, N) scratch.
     Scalar stores to VMEM don't lower on TPU, so index writes are masked
     full-row vector writes (cheap: one VPU pass over npoint lanes/step).
     """
     n = xyz_ref.shape[2]
-    npoint = out_ref.shape[1]
+    npoint = out_ref.shape[2]
     coords[:, :] = xyz_ref[0]
     x, y, z = coords[0:1, :], coords[1:2, :], coords[2:3, :]
     mag[:, :] = x * x + y * y + z * z
     temp[:, :] = jnp.full((1, n), _INIT_DIST, jnp.float32)
-    out_ref[:, :] = jnp.zeros((1, npoint), jnp.int32)
+    out_ref[0] = jnp.zeros((1, npoint), jnp.int32)
     skip = mag[:, :] <= _SKIP_MAG
     out_cols = jax.lax.broadcasted_iota(jnp.int32, (1, npoint), 1)
 
@@ -93,7 +93,7 @@ def _fps_kernel(xyz_ref, out_ref, temp, mag, coords):
         # poorly in Mosaic)
         best = jnp.max(cand)
         new = jnp.min(jnp.where(cand == best, n_cols, n)).astype(jnp.int32)
-        out_ref[:, :] = jnp.where(out_cols == j, new, out_ref[:, :])
+        out_ref[0] = jnp.where(out_cols == j, new, out_ref[0])
         return new
 
     jax.lax.fori_loop(1, npoint, step, jnp.int32(0))
@@ -110,16 +110,20 @@ def fps_pallas(xyz, npoint: int, interpret: bool = False):
             pl.BlockSpec((1, 3, N), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, npoint), lambda b: (b, 0),
+        # (B, 1, npoint) with a (1, 1, npoint) block: the trailing two
+        # dims match the array (a (1, npoint) block on (B, npoint) only
+        # lowers at B == 1 — Mosaic requires trailing block dims to be
+        # full or 8/128-divisible)
+        out_specs=pl.BlockSpec((1, 1, npoint), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, npoint), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((B, 1, npoint), jnp.int32),
         scratch_shapes=[
             pltpu.VMEM((1, N), jnp.float32),  # temp
             pltpu.VMEM((1, N), jnp.float32),  # mag
             pltpu.VMEM((3, N), jnp.float32),  # coords
         ],
         interpret=interpret,
-    )(xyz_t)
+    )(xyz_t)[:, 0, :]
 
 
 def furthest_point_sample(xyz, npoint: int, impl: str = "auto"):
