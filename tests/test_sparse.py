@@ -206,3 +206,49 @@ def test_offsets_order_z_fastest():
     assert offs[1] == (-1, -1, 0)
     assert offs[13] == (0, 0, 0)
     assert offs[26] == (1, 1, 1)
+
+
+def test_bottleneck_resnet50_forward_and_port():
+    """Depth-50 Bottleneck stages (reference mink_resnet.py:19-25) run and
+    round-trip through the torch checkpoint shim."""
+    import jax
+
+    from vdetr_tpu.config import VDETRConfig
+    from vdetr_tpu.data import ScannetDatasetConfig
+    from vdetr_tpu.models import build_model
+    from vdetr_tpu.train import torch_import as ti
+
+    cfg = VDETRConfig(
+        depth=50, voxel_capacity=1024, min_stage_capacity=64,
+        grid_extent=(64, 64, 32), preenc_npoints=64, nqueries=16,
+        dec_nlayers=2, dec_dim=32, dec_ffn_dim=32, rpe_dim=8, inplanes=8,
+        enc_dim=32, fps_impl="jax", num_points=512,
+    )
+    model = build_model(cfg, ScannetDatasetConfig())
+    rng = np.random.RandomState(0)
+    pts = rng.rand(1, 512, 3).astype(np.float32)
+    inputs = {
+        "point_clouds": jnp.asarray(pts),
+        "point_cloud_dims_min": jnp.asarray(pts.min(1)),
+        "point_cloud_dims_max": jnp.asarray(pts.max(1)),
+    }
+    variables = model.init(jax.random.PRNGKey(0), inputs, train=False)
+    out = model.apply(variables, inputs, train=False)
+    corners = np.asarray(out["outputs"]["box_corners"])
+    assert np.isfinite(corners).all()
+    # expansion-4 stage channels reach the FPN/top unchanged
+    p = variables["params"]["pre_encoder"]
+    assert p["layer1_block0"]["conv3"]["kernel"].shape[-1] == 8 * 4
+    assert "norm3" in p["layer1_block0"]
+
+    # exact round trip through the reference state-dict layout
+    params = jax.tree.map(np.asarray, variables["params"])
+    stats = jax.tree.map(np.asarray, variables["batch_stats"])
+    sd = ti.build_reference_state_dict(params, stats, cfg)
+    assert "pre_encoder.layer1.0.conv3.kernel" in sd
+    p2, s2, report = ti.convert_torch_state_dict(sd, cfg)
+    assert not report["missing"] and not report["unused"], report
+    fa, fb = ti._flatten(params), ti._flatten(p2)
+    assert set(fa) == set(fb)
+    for k in fa:
+        np.testing.assert_array_equal(fa[k], fb[k], err_msg=str(k))

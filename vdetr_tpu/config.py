@@ -37,7 +37,7 @@ class VDETRConfig:
     mink_syncbn: bool = True        # sync BN stats over the data mesh axis
     stem_bn: bool = True            # BatchNorm (vs InstanceNorm) in the stem
     voxel_size: float = 0.01
-    depth: int = 34                 # ResNet depth: 18 | 34
+    depth: int = 34                 # ResNet depth: 18|34 (BasicBlock), 50|101|152 (Bottleneck)
     inplanes: int = 64
     num_stages: int = 4
     use_fpn: bool = True

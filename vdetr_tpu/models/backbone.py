@@ -159,9 +159,73 @@ class SparseBasicBlock(nn.Module):
         return out2.replace(features=f)
 
 
+class SparseBottleneck(nn.Module):
+    """ResNet Bottleneck on voxels: 1x1 -> 3x3(stride) -> 1x1(x4) + skip
+    (MinkowskiEngine.modules.resnet_block.Bottleneck, expansion 4, the
+    stride on conv2 — reference mink_resnet.py:19-25 depths 50/101/152).
+    """
+
+    expansion = 4
+
+    planes: int
+    stride: int = 1
+    out_capacity: Optional[int] = None
+    axis_name: Optional[str] = None
+    compute_dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, grid: VoxelGrid, train: bool = False) -> VoxelGrid:
+        cd = self.compute_dtype
+        in_ch = grid.features.shape[-1]
+        out_ch = self.planes * self.expansion
+
+        def bn(name, feats, valid, ch):
+            return MaskedBatchNorm(ch, use_running_average=not train,
+                                   axis_name=self.axis_name, name=name)(
+                feats, valid
+            )
+
+        if grid.nbr_idx is None:
+            grid = attach_kernel_map(grid)
+        out = SparseConv(self.planes, kernel_size=1, compute_dtype=cd,
+                         name="conv1")(grid)
+        f = nn.relu(bn("norm1", out.features, out.valid, self.planes))
+        out = out.replace(features=f)
+        out_grid = None
+        if self.stride == 2:
+            out_grid = attach_kernel_map(
+                downsample_grid(grid, self.out_capacity)
+            )
+            out = SparseConvDown(self.planes, self.out_capacity,
+                                 kernel_size=3, compute_dtype=cd,
+                                 name="conv2")(out, out_grid=out_grid)
+        else:
+            out = SparseConv(self.planes, compute_dtype=cd,
+                             name="conv2")(out)
+        f = nn.relu(bn("norm2", out.features, out.valid, self.planes))
+        out = SparseConv(out_ch, kernel_size=1, compute_dtype=cd,
+                         name="conv3")(out.replace(features=f))
+        f3 = bn("norm3", out.features, out.valid, out_ch)
+        if self.stride != 1 or in_ch != out_ch:
+            if self.stride == 2:
+                ds = SparseConvDown(out_ch, self.out_capacity,
+                                    kernel_size=1, compute_dtype=cd,
+                                    name="downsample_conv")(
+                    grid, out_grid=out_grid)
+            else:
+                ds = SparseConv(out_ch, kernel_size=1, compute_dtype=cd,
+                                name="downsample_conv")(grid)
+            skip = bn("downsample_norm", ds.features, ds.valid, out_ch)
+        else:
+            skip = grid.features
+        f = nn.relu(f3 + skip)
+        f = jnp.where(out.valid[..., None], f, 0.0)
+        return out.replace(features=f)
+
+
 class SparseResNet(nn.Module):
     """MinkResNet (reference models/mink_resnet.py:8-102): stem conv k3 s2
-    + norm + relu, then `num_stages` stages of BasicBlocks, each stride 2.
+    + norm + relu, then `num_stages` stages of blocks, each stride 2.
     Returns all stage outputs.
     """
 
@@ -173,12 +237,20 @@ class SparseResNet(nn.Module):
     axis_name: Optional[str] = None
     compute_dtype: Optional[jnp.dtype] = None
 
+    ARCH = {
+        18: (SparseBasicBlock, (2, 2, 2, 2)),
+        34: (SparseBasicBlock, (3, 4, 6, 3)),
+        50: (SparseBottleneck, (3, 4, 6, 3)),
+        101: (SparseBottleneck, (3, 4, 23, 3)),
+        152: (SparseBottleneck, (3, 8, 36, 3)),
+    }
+
     @nn.compact
     def __call__(self, grid: VoxelGrid, train: bool = False):
-        arch = {18: (2, 2, 2, 2), 34: (3, 4, 6, 3)}
-        if self.depth not in arch:
+        if self.depth not in self.ARCH:
             raise KeyError(f"unsupported sparse resnet depth {self.depth}")
-        stage_blocks = arch[self.depth][: self.num_stages]
+        block_cls, stage_blocks = self.ARCH[self.depth]
+        stage_blocks = stage_blocks[: self.num_stages]
 
         x = SparseConvDown(self.inplanes, self.stage_capacities[0],
                            kernel_size=3, compute_dtype=self.compute_dtype,
@@ -198,14 +270,14 @@ class SparseResNet(nn.Module):
         for i, nblocks in enumerate(stage_blocks):
             planes = self.inplanes * 2 ** i
             cap = self.stage_capacities[i + 1]
-            x = SparseBasicBlock(planes, stride=2, out_capacity=cap,
-                                 axis_name=self.axis_name,
-                                 compute_dtype=self.compute_dtype,
-                                 name=f"layer{i + 1}_block0")(x, train)
+            x = block_cls(planes, stride=2, out_capacity=cap,
+                          axis_name=self.axis_name,
+                          compute_dtype=self.compute_dtype,
+                          name=f"layer{i + 1}_block0")(x, train)
             for b in range(1, nblocks):
-                x = SparseBasicBlock(planes, axis_name=self.axis_name,
-                                     compute_dtype=self.compute_dtype,
-                                     name=f"layer{i + 1}_block{b}")(x, train)
+                x = block_cls(planes, axis_name=self.axis_name,
+                              compute_dtype=self.compute_dtype,
+                              name=f"layer{i + 1}_block{b}")(x, train)
             outs.append(x)
         return outs
 

@@ -98,7 +98,9 @@ class VDETR(nn.Module):
             return {"digest": sum(s.features.sum() for s in stages)}
 
         # ---- FPN top-down (reference model_vdetr.py:266-278) ----
-        channels = [c.inplanes * 2 ** i for i in range(c.num_stages)]
+        expansion = 4 if c.depth >= 50 else 1  # Bottleneck depths
+        channels = [c.inplanes * 2 ** i * expansion
+                    for i in range(c.num_stages)]
         x = stages[-1]
         for i in range(c.num_stages - 1, c.layer_idx - 1, -1):
             if c.use_fpn and i < c.num_stages - 1:

@@ -170,7 +170,9 @@ def _map_pos_embed(m: _Mapper, tname: str, path):
 
 
 def _map_backbone(m: _Mapper, cfg: VDETRConfig):
-    arch = {18: (2, 2, 2, 2), 34: (3, 4, 6, 3)}[cfg.depth]
+    arch = {18: (2, 2, 2, 2), 34: (3, 4, 6, 3), 50: (3, 4, 6, 3),
+            101: (3, 4, 23, 3), 152: (3, 8, 36, 3)}[cfg.depth]
+    bottleneck = cfg.depth >= 50
     p = ("pre_encoder",)
     m.mink_kernel("pre_encoder.conv1", p + ("conv1",))
     m.norm("pre_encoder.norm1.bn" if cfg.stem_bn else "pre_encoder.norm1",
@@ -179,10 +181,11 @@ def _map_backbone(m: _Mapper, cfg: VDETRConfig):
         for b in range(arch[i]):
             t = f"pre_encoder.layer{i + 1}.{b}"
             q = p + (f"layer{i + 1}_block{b}",)
-            m.mink_kernel(f"{t}.conv1", q + ("conv1",))
-            m.norm(f"{t}.norm1.bn", q + ("norm1",))
-            m.mink_kernel(f"{t}.conv2", q + ("conv2",))
-            m.norm(f"{t}.norm2.bn", q + ("norm2",))
+            convs = ("conv1", "conv2", "conv3") if bottleneck \
+                else ("conv1", "conv2")
+            for j, cname in enumerate(convs, start=1):
+                m.mink_kernel(f"{t}.{cname}", q + (cname,))
+                m.norm(f"{t}.norm{j}.bn", q + (f"norm{j}",))
             if f"{t}.downsample.0.kernel" in m.sd:
                 m.mink_kernel(f"{t}.downsample.0", q + ("downsample_conv",))
                 m.norm(f"{t}.downsample.1.bn", q + ("downsample_norm",))
