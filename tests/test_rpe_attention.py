@@ -67,3 +67,37 @@ def test_fused_multiple_k_tiles(rng):
                                      **kw)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-5, rtol=2e-4)
+
+
+def test_custom_vjp_grads_match_reference(rng, monkeypatch):
+    """Gradients through the fused entry (Pallas fwd + reference-path
+    VJP) equal gradients of the reference function."""
+    import functools
+    from vdetr_tpu.ops import rpe_attention as ra
+
+    monkeypatch.setattr(
+        ra, "rpe_cross_attention_pallas",
+        functools.partial(ra.rpe_cross_attention_pallas, tq=8,
+                          interpret=True),
+    )
+    q, k, v, corners, angles, key_xyz, tables = make_case(rng, B=1, nQ=8,
+                                                          nK=16)
+    mask = jnp.ones((1, 16), jnp.float32)
+    kw = dict(log_scale=512.0, max_value=4.0)
+
+    def loss_fused(q, k, v, tables):
+        out = ra.rpe_cross_attention(q, k, v, corners, angles, key_xyz,
+                                     tables, mask, 512.0, 4.0, False)
+        return (out * out).sum()
+
+    def loss_ref(q, k, v, tables):
+        out = ra.rpe_cross_attention_reference(
+            q, k, v, corners, angles, key_xyz, tables, mask > 0.5, **kw,
+            rotate=False)
+        return (out * out).sum()
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(q, k, v, tables)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, tables)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=5e-3)

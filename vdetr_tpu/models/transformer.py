@@ -282,10 +282,12 @@ class GlobalShareCrossAttention(nn.Module):
             and jax.default_backend() in ("tpu", "axon")
         )
         if use_fused:
-            out = rpe_attention.rpe_cross_attention_pallas(
+            kv_mask = (jnp.ones((B, nK), jnp.float32) if key_valid is None
+                       else key_valid.astype(jnp.float32))
+            out = rpe_attention.rpe_cross_attention(
                 q, k, v, reference_point, reference_angle, key_xyz, tables,
-                key_valid, log_scale=self.log_scale, max_value=max_value,
-                rotate=self.angle_type == "object_coords",
+                kv_mask, self.log_scale, max_value,
+                self.angle_type == "object_coords",
             ).reshape(B, nQ, self.dim)
             x = nn.Dense(self.dim, kernel_init=xavier_uniform,
                          name="proj")(out)

@@ -239,6 +239,44 @@ def rpe_cross_attention_pallas(q, k, v, corners, angles, key_xyz, tables,
     return jnp.moveaxis(out, 1, 2)                     # (B, nQ, H, hd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+def rpe_cross_attention(q, k, v, corners, angles, key_xyz, tables,
+                        key_valid_f, log_scale, max_value, rotate):
+    """Differentiable fused entry: Pallas kernel forward, reference-path
+    VJP (the backward recomputes the materialized bias and differentiates
+    it — the same cost the rematerialized training path already pays,
+    while the forward gets the kernel). key_valid_f: (B, nK) float mask
+    (1 = valid); use `jnp.ones` for no masking."""
+    return rpe_cross_attention_pallas(
+        q, k, v, corners, angles, key_xyz, tables, key_valid_f > 0.5,
+        log_scale=log_scale, max_value=max_value, rotate=rotate,
+    )
+
+
+def _rpe_ca_fwd(q, k, v, corners, angles, key_xyz, tables, key_valid_f,
+                log_scale, max_value, rotate):
+    out = rpe_cross_attention(q, k, v, corners, angles, key_xyz, tables,
+                              key_valid_f, log_scale, max_value, rotate)
+    return out, (q, k, v, corners, angles, key_xyz, tables, key_valid_f)
+
+
+def _rpe_ca_bwd(log_scale, max_value, rotate, res, g):
+    q, k, v, corners, angles, key_xyz, tables, key_valid_f = res
+
+    def ref(q, k, v, corners, angles, key_xyz, tables, key_valid_f):
+        return rpe_cross_attention_reference(
+            q, k, v, corners, angles, key_xyz, tables, key_valid_f > 0.5,
+            log_scale=log_scale, max_value=max_value, rotate=rotate,
+        )
+
+    _, vjp = jax.vjp(ref, q, k, v, corners, angles, key_xyz, tables,
+                     key_valid_f)
+    return vjp(g)
+
+
+rpe_cross_attention.defvjp(_rpe_ca_fwd, _rpe_ca_bwd)
+
+
 def rpe_cross_attention_reference(q, k, v, corners, angles, key_xyz, tables,
                                   key_valid=None, *, log_scale: float,
                                   max_value: float, rotate: bool = False):
