@@ -64,3 +64,48 @@ def test_device_nms_eval_matches_host():
     ma = calc_dev.compute_metrics()
     mb = calc_host.compute_metrics()
     assert ma[0.25]["mAP"] == mb[0.25]["mAP"]
+
+
+def test_device_remove_empty_box_matches_host():
+    """--test_only configures remove_empty_box (reference
+    ap_calculator.py:80-111); the device path folds the points-in-boxes
+    count into the jitted keep mask. At <= 40k points the '40k subsample'
+    is the whole cloud in both implementations, so host and device paths
+    must agree exactly."""
+    cfg = VDETRConfig(
+        voxel_capacity=1024, min_stage_capacity=128, grid_extent=(64, 64, 32),
+        preenc_npoints=64, nqueries=16, dec_nlayers=2, dec_dim=32,
+        dec_ffn_dim=32, rpe_dim=8, inplanes=8, enc_dim=32, fps_impl="jax",
+        num_points=512, repeat_num=2, mlp_dropout=0.0, dec_dropout=0.0,
+        test_only=True,
+    )
+    ds = ScannetDatasetConfig()
+    ap_cfg = config_dict_from_cfg(cfg, ds)
+    assert ap_cfg["remove_empty_box"] and device_nms_supported(ap_cfg)
+
+    mesh = make_mesh(("data",), (1,), devices=jax.devices()[:1])
+    model = build_model(cfg, ds, axis_name="data")
+    data = SyntheticDetectionDataset(ds, num_points=cfg.num_points,
+                                     num_scenes=2, max_objects=4)
+    batch = {k: jnp.asarray(v) for k, v in collate([data[0], data[1]]).items()}
+    trainer = Trainer(cfg, model, ds, mesh, steps_per_epoch=1)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    out = jax.tree.map(np.asarray, trainer.eval_step(state, batch,
+                                                     retries=0))
+    assert "nms_keep" in out
+
+    calc_dev = APCalculator(ds, ap_iou_thresh=[0.25],
+                            class2type_map=ds.class2type,
+                            ap_config_dict=ap_cfg, processes=1)
+    calc_host = APCalculator(ds, ap_iou_thresh=[0.25],
+                             class2type_map=ds.class2type,
+                             ap_config_dict=ap_cfg, processes=1)
+    out_host = {k: v for k, v in out.items() if k != "nms_keep"}
+    calc_dev.step(out, batch)
+    calc_host.step(out_host, batch)
+    for i in range(calc_dev.scan_cnt):
+        a, b = calc_dev.pred_map_cls[i], calc_host.pred_map_cls[i]
+        assert len(a) == len(b), (i, len(a), len(b))
+        for (ca, boxa, sa), (cb, boxb, sb) in zip(a, b):
+            assert ca == cb and sa == sb
+            np.testing.assert_array_equal(boxa, boxb)

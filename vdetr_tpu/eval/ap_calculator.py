@@ -95,10 +95,10 @@ def _points_in_boxes_np(points, boxes):
     )
 
 
-def device_nms_supported(config_dict) -> bool:
-    """True when the configured NMS variant is exactly the one
-    `nms_3d_samecls_mask` implements on device (the published eval path:
-    class-aware axis-aligned 3D NMS, no empty-box removal interplay)."""
+def device_nms_variant_ok(config_dict) -> bool:
+    """The configured NMS variant is the one `nms_3d_samecls_mask`
+    implements on device (the published eval path: class-aware
+    axis-aligned 3D NMS)."""
     return (
         config_dict["use_3d_nms"]
         and config_dict["cls_nms"]
@@ -106,8 +106,14 @@ def device_nms_supported(config_dict) -> bool:
         and not config_dict["angle_nms"]
         and not config_dict.get("rotated_nms")
         and not config_dict.get("no_nms")
-        and not config_dict["remove_empty_box"]
     )
+
+
+def device_nms_supported(config_dict) -> bool:
+    """Variant ok; empty-box removal (when configured) is folded into the
+    device mask by the eval step (points-in-boxes on a fixed 40k
+    subsample inside the jitted step)."""
+    return device_nms_variant_ok(config_dict)
 
 
 def parse_predictions(predicted_boxes, sem_cls_probs, objectness_probs,

@@ -220,14 +220,17 @@ class Trainer:
         # variant is exactly the published class-aware axis-aligned 3D NMS,
         # the keep mask is computed inside the jitted step (pick-order
         # parity-tested vs the numpy path, tests/test_nms_pib.py) and the
-        # AP calculator skips its host NMS loop.
+        # AP calculator skips its host NMS loop. Empty-box removal
+        # (reference utils/ap_calculator.py:80-111: boxes with fewer than
+        # empty_pt_thre of a 40k point subsample inside are dropped before
+        # NMS) runs on device too when configured.
         from vdetr_tpu.eval.ap_calculator import (
             config_dict_from_cfg,
             device_nms_supported,
         )
-        use_device_nms = device_nms_supported(
-            config_dict_from_cfg(cfg, self.dataset_config)
-        )
+        ap_cfg = config_dict_from_cfg(cfg, self.dataset_config)
+        use_device_nms = device_nms_supported(ap_cfg)
+        device_remove_empty = use_device_nms and ap_cfg["remove_empty_box"]
 
         def per_device(state: TrainState, batch):
             out = model.apply(
@@ -246,7 +249,38 @@ class Trainer:
                 )
             }
             if use_device_nms:
-                from vdetr_tpu.geometry import nms_3d_samecls_mask
+                from vdetr_tpu.geometry import (
+                    nms_3d_samecls_mask,
+                    points_in_boxes_all,
+                )
+
+                obj = keep["objectness_prob"]
+                valid = jnp.ones(obj.shape, bool)
+                if device_remove_empty:
+                    boxes = jnp.concatenate(
+                        [keep["center_unnormalized"],
+                         keep["size_unnormalized"],
+                         keep["angle_continuous"][..., None]], axis=-1,
+                    )
+                    boxes = boxes.at[..., 2].add(-boxes[..., 5] / 2)
+                    pc = batch["point_clouds"][..., :3]
+                    nsub = min(40000, pc.shape[1])
+                    # fixed-key subsample: the reference draws an
+                    # unseeded random 40k subset per scan
+                    # (utils/ap_calculator.py:84); any subset is within
+                    # protocol. Padded val points sit at the scene min
+                    # and cannot fall inside boxes.
+                    sel = jax.random.permutation(
+                        jax.random.PRNGKey(0), pc.shape[1]
+                    )[:nsub]
+                    cnt = points_in_boxes_all(pc[:, sel], boxes).sum(axis=1)
+                    valid = cnt >= cfg.empty_pt_thre
+                    # all-empty fallback: keep the highest-objectness box
+                    none = ~valid.any(axis=1, keepdims=True)
+                    best = jax.nn.one_hot(
+                        jnp.argmax(obj, axis=1), obj.shape[1], dtype=bool
+                    )
+                    valid = valid | (none & best)
 
                 corners = keep["box_corners_axis_align" if cfg.axis_align_test
                                else "box_corners"]
@@ -255,10 +289,10 @@ class Trainer:
                 )
                 classes = jnp.argmax(keep["sem_cls_prob"], axis=-1)
                 keep["nms_keep"] = jax.vmap(
-                    lambda a, s, c: nms_3d_samecls_mask(
-                        a, s, c, jnp.ones_like(s, bool), cfg.nms_iou
+                    lambda a, s, c, vm: nms_3d_samecls_mask(
+                        a, s, c, vm, cfg.nms_iou
                     )
-                )(aabbs, keep["objectness_prob"], classes)
+                )(aabbs, obj, classes, valid)
             return keep
 
         cache = {}
