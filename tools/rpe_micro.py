@@ -145,7 +145,8 @@ def main():
     print("DONE", flush=True)
 
 
-if __name__ == "__main__" and os.environ.get("CM2") != "1":
+if __name__ == "__main__" and os.environ.get("CM2") != "1" and \
+        os.environ.get("CM3") != "1":
     main()
 
 # appended: factorized-matmul trilinear benches (run via CM2=1 env)
@@ -207,3 +208,53 @@ def main2():
 
 if __name__ == "__main__" and os.environ.get("CM2") == "1":
     main2()
+
+
+# appended round 3: fused Pallas kernel f32 vs bf16-MXU (run via CM3=1)
+def main3():
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                     "/root/.cache/jax_comp"))
+    from vdetr_tpu.ops.rpe_attention import rpe_cross_attention_pallas
+
+    B, nQ, nK, H, hd, n = 1, 1024, 4096, 4, 64, 10
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(B, nQ, H, hd).astype(np.float32) * 0.1)
+    k = jnp.asarray(rng.randn(B, nK, hd).astype(np.float32) * 0.1)
+    v = jnp.asarray(rng.randn(B, nK, hd).astype(np.float32))
+    corners = jnp.asarray(rng.rand(B, nQ, 8, 3).astype(np.float32) * 6)
+    angles = jnp.zeros((B, nQ), jnp.float32)
+    key_xyz = jnp.asarray(rng.rand(B, nK, 3).astype(np.float32) * 6)
+    tables = jnp.asarray(rng.randn(8, n, n, n, H).astype(np.float32))
+
+    outs = {}
+    for name, tq, tk in (("tq=32 tk=128", 32, 128),
+                         ("tq=64 tk=128", 64, 128),
+                         ("tq=32 tk=256", 32, 256),
+                         ("tq=64 tk=256", 64, 256)):
+        fn = jax.jit(functools.partial(
+            rpe_cross_attention_pallas, log_scale=512.0, max_value=4.0,
+            tq=tq, tk=tk))
+        try:
+            bench(fn, (q, k, v, corners, angles, key_xyz, tables),
+                  iters=8, label=f"fused kernel {name}")
+            outs[name] = np.asarray(fn(q, k, v, corners, angles, key_xyz,
+                                       tables))
+        except Exception as e:  # noqa: BLE001
+            print(f"fused kernel {name}: FAIL {str(e).splitlines()[0][:90]}",
+                  flush=True)
+    ref = outs.get("tq=32 tk=128")
+    if ref is not None:
+        for name, o in outs.items():
+            err = np.max(np.abs(o - ref))
+            print(f"  max|out - base| {name}: {err:.3e}", flush=True)
+    print("DONE3", flush=True)
+
+
+if __name__ == "__main__" and os.environ.get("CM3") == "1":
+    main3()

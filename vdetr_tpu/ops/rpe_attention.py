@@ -71,20 +71,31 @@ def _kernel(q_ref, k_ref, v_ref, corners_ref, cossin_ref, kxyz_ref,
     """Grid (B, nQ/TQ, nK/TK), k innermost. Scratch m/z/acc persist
     across the k dimension (flash-attention pattern).
 
+    Heads are FUSED into the dot M dimension: the q block arrives as
+    (H*TQ, hd) (head-major rows, wrapper pre-blocks it) so the logits and
+    AV products are single M=H*TQ matmuls instead of H separate M=TQ
+    ones, and the streaming-softmax state updates vectorize over all
+    H*TQ rows at once. Measured: the per-head M=32 form spent ~4 ms of
+    per-tile fixed cost per layer (tools/rpe_ablate.py "flash only").
+
     Bias layout: tile elements flatten row-major to E = TQ*TK lanes;
     per corner a (n^2, E) weight matrix P (hat(d) x hat(h), <= 4
     nonzeros per lane) contracts with the (n^2, n*H) table on the MXU,
-    and the w-axis hat folds the (n*H, E) result to one (1, E) bias per
-    head. Everything lives in VMEM; no gathers."""
+    and the w-axis hat folds the (n*H, E) result via one constant
+    head-selection matmul AFTER the corner sum. Everything lives in
+    VMEM; no gathers. All dots run at the backend's default matmul
+    precision (bf16 inputs / f32 accumulation on TPU — explicit bf16
+    casts are no-ops, measured bit-identical)."""
     ik = pl.program_id(2)
     nk = pl.num_programs(2)
     E = TQ * TK
+    HTQ = H * TQ
 
     @pl.when(ik == 0)
     def _():
-        m_ref[:, :] = jnp.full((H, TQ), NEG_INF, jnp.float32)
-        z_ref[:, :] = jnp.zeros((H, TQ), jnp.float32)
-        acc_ref[:, :, :] = jnp.zeros((H, TQ, hd), jnp.float32)
+        m_ref[:, :] = jnp.full((HTQ, 1), NEG_INF, jnp.float32)
+        z_ref[:, :] = jnp.zeros((HTQ, 1), jnp.float32)
+        acc_ref[:, :] = jnp.zeros((HTQ, hd), jnp.float32)
 
     k_tile = k_ref[0]                      # (TK, hd)
     v_tile = v_ref[0]                      # (TK, hd)
@@ -96,25 +107,32 @@ def _kernel(q_ref, k_ref, v_ref, corners_ref, cossin_ref, kxyz_ref,
         co = cossin_ref[0][:, 0].reshape(TQ, 1)
         si = cossin_ref[0][:, 1].reshape(TQ, 1)
 
-    # per-head logits: q_h (TQ, hd) @ k_tile^T -> (TQ, TK)
-    logits = []
-    for h in range(H):
-        lh = jax.lax.dot_general(
-            q_ref[0, h], k_tile, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        logits.append(lh)
-
-    # RPE bias, 8 corners, gather-free factorized trilinear: three
-    # (n, E) hat-weight matrices (the two grid_sample taps per axis are
-    # exactly relu(1 - |lattice - index|)), an outer product to (n^2, E),
-    # one MXU contraction with the (n^2, n*H) table, and a hat-weighted
-    # fold over the w axis. Lane dim is always E; no gathers.
-    # tpu.iota only produces integers; cast after
-    row_iota = jax.lax.broadcasted_iota(jnp.int32, (n, E), 0).astype(
-        jnp.float32
+    # all-head logits in one dot: (H*TQ, hd) @ (TK, hd)^T -> (H*TQ, TK)
+    logits = jax.lax.dot_general(
+        q_ref[0, 0], k_tile, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
-    bias_heads = jnp.zeros((H, E), jnp.float32)
+
+    # RPE bias, 8 corners, gather-free factorized trilinear. Per corner:
+    # build the (n^2, E) d/h hat-pair weight matrix P DIRECTLY in its
+    # final layout (row r of the n^2 axis decodes to (r//n, r%n); the two
+    # grid_sample taps per axis are exactly relu(1 - |lattice - index|)),
+    # one MXU contraction with the (n^2, n*H) table, then multiply by the
+    # w-axis hat expanded to (n*H, E) — again built in-layout from a
+    # row//H iota. The w/head fold is ONE tiny constant selection matmul
+    # (H, n*H) @ (n*H, E) AFTER summing corners. No reshapes of wide
+    # intermediates: Mosaic relayouts of (10,10,E)<->(100,E) were
+    # measured at ~7 ms/layer (tools/rpe_ablate.py); this form has none.
+    row2 = jax.lax.broadcasted_iota(jnp.int32, (n * n, E), 0)
+    rowa = (row2 // n).astype(jnp.float32)             # d-axis lattice idx
+    rowb = (row2 % n).astype(jnp.float32)              # h-axis lattice idx
+    rownh = jax.lax.broadcasted_iota(jnp.int32, (n * H, E), 0)
+    roww = (rownh // H).astype(jnp.float32)            # w-axis lattice idx
+    # head-selection matrix S[h, r] = (r % H == h)
+    sel_r = jax.lax.broadcasted_iota(jnp.int32, (H, n * H), 1)
+    sel_h = jax.lax.broadcasted_iota(jnp.int32, (H, n * H), 0)
+    S = (sel_r % H == sel_h).astype(jnp.float32)
+    v40 = jnp.zeros((n * H, E), jnp.float32)
     for c in range(8):
         cx = corners_ref[0][:, 3 * c + 0].reshape(TQ, 1)
         cy = corners_ref[0][:, 3 * c + 1].reshape(TQ, 1)
@@ -128,43 +146,36 @@ def _kernel(q_ref, k_ref, v_ref, corners_ref, cossin_ref, kxyz_ref,
         iw = _quantize(dx, log_scale, max_value, n).reshape(1, E)
         ih = _quantize(dy, log_scale, max_value, n).reshape(1, E)
         id_ = _quantize(dz, log_scale, max_value, n).reshape(1, E)
-        hat_a = _hat(row_iota, id_)                    # (n, E)
-        hat_b = _hat(row_iota, ih)
-        hat_w = _hat(row_iota, iw)
-        P = (hat_a[:, None, :] * hat_b[None, :, :]).reshape(n * n, E)
+        P = _hat(rowa, id_) * _hat(rowb, ih)
         U = jax.lax.dot_general(
             tables_ref[c], P, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                              # (n*H, E)
-        bias_heads = bias_heads + (
-            U.reshape(n, H, E) * hat_w[:, None, :]
-        ).sum(axis=0)                                  # (H, E)
-    for h in range(H):
-        logits[h] = logits[h] + bias_heads[h].reshape(TQ, TK)
+        v40 = v40 + U * _hat(roww, iw)
+    bias_heads = jax.lax.dot_general(
+        S, v40, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                  # (H, E)
+    logits = logits + bias_heads.reshape(HTQ, TK)
 
-    # streaming softmax update per head
-    for h in range(H):
-        l = jnp.where(kvalid > 0, logits[h], NEG_INF)
-        m_old = m_ref[h].reshape(TQ, 1)
-        m_new = jnp.maximum(m_old, jnp.max(l, axis=1, keepdims=True))
-        alpha = jnp.exp(m_old - m_new)
-        p = jnp.exp(l - m_new)                          # (TQ, TK)
-        z_new = z_ref[h].reshape(TQ, 1) * alpha + jnp.sum(
-            p, axis=1, keepdims=True
-        )
-        acc_new = acc_ref[h] * alpha + jax.lax.dot_general(
-            p, v_tile, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        m_ref[h] = m_new.reshape(TQ)
-        z_ref[h] = z_new.reshape(TQ)
-        acc_ref[h] = acc_new
+    # streaming softmax update, all H*TQ rows at once
+    l = jnp.where(kvalid > 0, logits, NEG_INF)         # (HTQ, TK)
+    m_old = m_ref[:, :]                                # (HTQ, 1)
+    m_new = jnp.maximum(m_old, jnp.max(l, axis=1, keepdims=True))
+    alpha = jnp.exp(m_old - m_new)
+    p = jnp.exp(l - m_new)                             # (HTQ, TK)
+    z_new = z_ref[:, :] * alpha + jnp.sum(p, axis=1, keepdims=True)
+    acc_new = acc_ref[:, :] * alpha + jax.lax.dot_general(
+        p, v_tile, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_ref[:, :] = m_new
+    z_ref[:, :] = z_new
+    acc_ref[:, :] = acc_new
 
     @pl.when(ik == nk - 1)
     def _():
-        for h in range(H):
-            z = z_ref[h].reshape(TQ, 1)
-            out_ref[0, h] = acc_ref[h] / jnp.maximum(z, 1e-30)
+        out_ref[0, 0] = acc_ref[:, :] / jnp.maximum(z_ref[:, :], 1e-30)
 
 
 def rpe_cross_attention_pallas(q, k, v, corners, angles, key_xyz, tables,
@@ -177,10 +188,14 @@ def rpe_cross_attention_pallas(q, k, v, corners, angles, key_xyz, tables,
     q: (B, nQ, H, hd) pre-scaled by hd^-0.5; k, v: (B, nK, hd);
     corners: (B, nQ, 8, 3); angles: (B, nQ); key_xyz: (B, nK, 3);
     tables: (8, n, n, n, H); key_valid: (B, nK) or None.
-    Returns (B, nQ, H, hd).
+    Returns (B, nQ, H, hd) float32.
+
+    The q tensor is pre-blocked host-side to (B, nQ/tq, H*tq, hd)
+    (head-major rows inside each q tile) so every kernel dot runs at
+    M = H*tq instead of H small M=tq dots — see _kernel.
 
     Constraints: nK % tk == 0, nQ % tq == 0. VMEM high-water per tile is
-    dominated by the (n^2, tq*tk) weight matrix (~4 MB at the defaults).
+    dominated by the (n^2, tq*tk) weight matrix (~2 MB at the defaults).
     """
     B, nQ, H, hd = q.shape
     nK = k.shape[1]
@@ -189,8 +204,11 @@ def rpe_cross_attention_pallas(q, k, v, corners, angles, key_xyz, tables,
     tq = min(tq, nQ)
     assert nK % TK == 0, f"nK={nK} must be a multiple of {TK}"
     assert nQ % tq == 0, f"nQ={nQ} must be a multiple of {tq}"
+    nqt = nQ // tq
 
-    q_t = jnp.moveaxis(q, 2, 1)                        # (B, H, nQ, hd)
+    # (B, nQ, H, hd) -> (B, nQ/tq, H*tq, hd), rows head-major per tile
+    q_t = q.reshape(B, nqt, tq, H, hd).transpose(0, 1, 3, 2, 4).reshape(
+        B, nqt, H * tq, hd)
     corners_t = corners.reshape(B, nQ, 24)             # (B, nQ, 24)
     cossin = jnp.stack([jnp.cos(angles), jnp.sin(angles)], axis=2)  # (B,nQ,2)
     kxyz_t = jnp.moveaxis(key_xyz, 1, 2)               # (B, 3, nK)
@@ -200,7 +218,7 @@ def rpe_cross_attention_pallas(q, k, v, corners, angles, key_xyz, tables,
         kvalid = key_valid.astype(jnp.float32).reshape(B, 1, nK)
     tables_in = _flatten_tables(tables)                # (8, n^2, n*H)
 
-    grid = (B, nQ // tq, nK // TK)
+    grid = (B, nqt, nK // TK)
     kernel = functools.partial(
         _kernel, n=n, H=H, hd=hd, TQ=tq, TK=TK, log_scale=log_scale,
         max_value=max_value, rotate=rotate,
@@ -209,7 +227,8 @@ def rpe_cross_attention_pallas(q, k, v, corners, angles, key_xyz, tables,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, H, tq, hd), lambda b, iq, ik: (b, 0, iq, 0),
+            pl.BlockSpec((1, 1, H * tq, hd),
+                         lambda b, iq, ik: (b, iq, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TK, hd), lambda b, iq, ik: (b, ik, 0),
                          memory_space=pltpu.VMEM),
@@ -226,17 +245,20 @@ def rpe_cross_attention_pallas(q, k, v, corners, angles, key_xyz, tables,
             pl.BlockSpec((8, n * n, n * H), lambda b, iq, ik: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, H, tq, hd), lambda b, iq, ik: (b, 0, iq, 0),
+        out_specs=pl.BlockSpec((1, 1, H * tq, hd),
+                               lambda b, iq, ik: (b, iq, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, H, nQ, hd), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, nqt, H * tq, hd), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((H, tq), jnp.float32),       # running max
-            pltpu.VMEM((H, tq), jnp.float32),       # running denom
-            pltpu.VMEM((H, tq, hd), jnp.float32),   # output accumulator
+            pltpu.VMEM((H * tq, 1), jnp.float32),    # running max
+            pltpu.VMEM((H * tq, 1), jnp.float32),    # running denom
+            pltpu.VMEM((H * tq, hd), jnp.float32),   # output accumulator
         ],
         interpret=interpret,
     )(q_t, k, v, corners_t, cossin, kxyz_t, kvalid, tables_in)
-    return jnp.moveaxis(out, 1, 2)                     # (B, nQ, H, hd)
+    # (B, nQ/tq, H*tq, hd) -> (B, nQ, H, hd)
+    return out.reshape(B, nqt, H, tq, hd).transpose(0, 1, 3, 2, 4).reshape(
+        B, nQ, H, hd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
