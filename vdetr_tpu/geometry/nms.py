@@ -31,7 +31,12 @@ def nms_2d_faster_np(boxes, overlap_threshold, old_type=False):
         w = np.maximum(0, xx2 - xx1)
         h = np.maximum(0, yy2 - yy1)
         inter = w * h
-        o = inter / area[rest] if old_type else inter / (area[i] + area[rest] - inter)
+        denom = area[rest] if old_type else area[i] + area[rest] - inter
+        # zero-volume (padded) boxes: the reference's 0/0 NaN compares
+        # False and keeps the box; +inf reproduces that without the
+        # RuntimeWarning (utils/nms.py has the same degenerate case)
+        o = np.where(denom > 0, inter / np.where(denom > 0, denom, 1.0),
+                     np.inf)
         order = rest[o <= overlap_threshold]
     return pick
 
@@ -49,9 +54,11 @@ def _nms3d_overlaps(boxes, i, rest, old_type):
     w = np.maximum(0, yy2 - yy1)
     h = np.maximum(0, zz2 - zz1)
     inter = l * w * h
-    if old_type:
-        return inter / area[rest]
-    return inter / (area[i] + area[rest] - inter)
+    denom = area[rest] if old_type else area[i] + area[rest] - inter
+    # zero-volume (padded) boxes: the reference's 0/0 NaN compares False
+    # and keeps the box; +inf reproduces that without the RuntimeWarning
+    return np.where(denom > 0, inter / np.where(denom > 0, denom, 1.0),
+                    np.inf)
 
 
 def nms_3d_faster_np(boxes, overlap_threshold, old_type=False):

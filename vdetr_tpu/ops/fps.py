@@ -59,29 +59,42 @@ def fps_jax(xyz, npoint: int):
     return jax.vmap(functools.partial(_fps_single_jax, npoint=npoint))(xyz)
 
 
-def _fps_kernel(xyz_ref, out_ref, temp, mag, coords):
+_ROWS = 8  # VPU sublane count: distance arrays live as (8, N/8)
+
+
+def _fps_kernel(xyz_ref, out_ref, temp, mag, xs, ys, zs):
     """One batch row. xyz_ref: (1, 3, N) in VMEM; out_ref: (1, 1, npoint).
 
-    temp: (1, N) running min distance; mag: (1, N); coords: (3, N) scratch.
+    All per-point state (coords, running min distance, magnitude) is held
+    as (8, N/8) — a (1, N) layout occupies one sublane of every 8x128
+    vreg, wasting 7/8 of the VPU on every pass (measured 14 ms at
+    N=65536/npoint=4096; this layout ~8x less VPU work per step).
     Scalar stores to VMEM don't lower on TPU, so index writes are masked
     full-row vector writes (cheap: one VPU pass over npoint lanes/step).
     """
-    n = xyz_ref.shape[2]
+    cols = xyz_ref.shape[3]
+    n = _ROWS * cols
     npoint = out_ref.shape[2]
-    coords[:, :] = xyz_ref[0]
-    x, y, z = coords[0:1, :], coords[1:2, :], coords[2:3, :]
+    xs[:, :] = xyz_ref[0, 0]
+    ys[:, :] = xyz_ref[0, 1]
+    zs[:, :] = xyz_ref[0, 2]
+    x, y, z = xs[:, :], ys[:, :], zs[:, :]
     mag[:, :] = x * x + y * y + z * z
-    temp[:, :] = jnp.full((1, n), _INIT_DIST, jnp.float32)
+    temp[:, :] = jnp.full((_ROWS, cols), _INIT_DIST, jnp.float32)
     out_ref[0] = jnp.zeros((1, npoint), jnp.int32)
     skip = mag[:, :] <= _SKIP_MAG
     out_cols = jax.lax.broadcasted_iota(jnp.int32, (1, npoint), 1)
 
-    n_cols = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    # original index of cell (r, c) = r * cols + c (row-major reshape)
+    idx_grid = (
+        jax.lax.broadcasted_iota(jnp.int32, (_ROWS, cols), 0) * cols
+        + jax.lax.broadcasted_iota(jnp.int32, (_ROWS, cols), 1)
+    )
 
     def step(j, old):
         # select the current point's coords with a masked reduction
         # (dynamic_slice on loaded values doesn't lower in Mosaic)
-        sel = (n_cols == old).astype(jnp.float32)
+        sel = (idx_grid == old).astype(jnp.float32)
         cx = jnp.sum(x * sel)
         cy = jnp.sum(y * sel)
         cz = jnp.sum(z * sel)
@@ -89,10 +102,10 @@ def _fps_kernel(xyz_ref, out_ref, temp, mag, coords):
         d2 = jnp.minimum(d, temp[:, :])
         temp[:, :] = jnp.where(skip, temp[:, :], d2)
         cand = jnp.where(skip, -1.0, d2)
-        # first-index argmax via two plain reductions (1-D argmax lowers
+        # first-index argmax via two plain reductions (argmax lowers
         # poorly in Mosaic)
         best = jnp.max(cand)
-        new = jnp.min(jnp.where(cand == best, n_cols, n)).astype(jnp.int32)
+        new = jnp.min(jnp.where(cand == best, idx_grid, n)).astype(jnp.int32)
         out_ref[0] = jnp.where(out_cols == j, new, out_ref[0])
         return new
 
@@ -100,14 +113,26 @@ def _fps_kernel(xyz_ref, out_ref, temp, mag, coords):
 
 
 def fps_pallas(xyz, npoint: int, interpret: bool = False):
-    """xyz: (B, N, 3) -> (B, npoint) int32 via a Pallas kernel."""
+    """xyz: (B, N, 3) -> (B, npoint) int32 via a Pallas kernel.
+
+    N is padded up to a multiple of 8 with zeros (zero rows are excluded
+    from selection by the reference kernel's mag<=1e-3 rule, so padding
+    never changes the result)."""
     B, N, _ = xyz.shape
-    xyz_t = jnp.transpose(xyz, (0, 2, 1)).astype(jnp.float32)  # (B, 3, N)
+    if N % _ROWS:
+        pad = _ROWS - N % _ROWS
+        xyz = jnp.concatenate(
+            [xyz, jnp.zeros((B, pad, 3), xyz.dtype)], axis=1)
+        N += pad
+    cols = N // _ROWS
+    # (B, 3, 8, N/8): point i lands at (i // cols, i % cols)
+    xyz_t = jnp.transpose(xyz, (0, 2, 1)).astype(jnp.float32).reshape(
+        B, 3, _ROWS, cols)
     return pl.pallas_call(
         _fps_kernel,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, 3, N), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, 3, _ROWS, cols), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         # (B, 1, npoint) with a (1, 1, npoint) block: the trailing two
@@ -118,9 +143,11 @@ def fps_pallas(xyz, npoint: int, interpret: bool = False):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, 1, npoint), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((1, N), jnp.float32),  # temp
-            pltpu.VMEM((1, N), jnp.float32),  # mag
-            pltpu.VMEM((3, N), jnp.float32),  # coords
+            pltpu.VMEM((_ROWS, cols), jnp.float32),  # temp
+            pltpu.VMEM((_ROWS, cols), jnp.float32),  # mag
+            pltpu.VMEM((_ROWS, cols), jnp.float32),  # x
+            pltpu.VMEM((_ROWS, cols), jnp.float32),  # y
+            pltpu.VMEM((_ROWS, cols), jnp.float32),  # z
         ],
         interpret=interpret,
     )(xyz_t)[:, 0, :]

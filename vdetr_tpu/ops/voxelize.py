@@ -139,33 +139,76 @@ def lookup(keys_sorted, query_keys):
     return idx[V:].reshape(qshape)
 
 
-def _compact_unique(keys, order_payload_fn, capacity):
-    """Sort keys, keep the first row of each unique key, scatter into a
-    fresh padded buffer of size `capacity` (ascending key order).
+def unpack_keys(keys, extent):
+    """Inverse of pack_keys for in-range keys: (...,) int32 -> (..., 3).
+    SENTINEL/invalid rows must be masked by the caller."""
+    _, gy, gz = extent
+    z = keys % gz
+    y = (keys // gz) % gy
+    x = keys // (gy * gz)
+    return jnp.stack([x, y, z], axis=-1)
+
+
+def _compact_unique(keys, payload, capacity):
+    """Sort keys, keep the first row of each unique key, compact the
+    unique rows to the front in ascending key order.
 
     keys: (N,) int32 (invalid rows must already be SENTINEL).
-    order_payload_fn(order): given the sort permutation, returns a tuple
-    of arrays (N, ...) aligned with the sorted keys.
+    payload: tuple of (N,) or (N, C) arrays carried along.
     Returns (out_keys (capacity,), payload_out tuple, count).
-    """
+
+    TPU formulation: everything is TWO stable multi-operand sorts —
+    (1) sort by key (first occurrence of a duplicate stays first, the
+    MinkowskiEngine unique-representative rule), (2) sort by the
+    head-flag to compact unique rows to the front while preserving key
+    order. No argsort-then-gather and no scatter: per-row gathers and
+    scatters run at ~20 GB/s / ~80 M rows/s on this chip
+    (tools/gather_micro.py) while multi-operand sorts stream on the VPU;
+    payload coords are not even carried — callers recompute them from
+    the packed key via unpack_keys."""
     N = keys.shape[0]
-    order = jnp.argsort(keys, stable=True)
-    ks = keys[order]
-    payload = order_payload_fn(order)
+    # flatten (N, C) payloads into C separate (N,) operands
+    flat_ops = []
+    specs = []  # (ndim, C, dtype) to rebuild
+    for arr in payload:
+        if arr.ndim == 1:
+            flat_ops.append(arr)
+            specs.append(None)
+        else:
+            C = arr.shape[1]
+            specs.append(C)
+            for c in range(C):
+                flat_ops.append(arr[:, c])
+    sorted_all = jax.lax.sort((keys, *flat_ops), num_keys=1, is_stable=True)
+    ks = sorted_all[0]
     head = (ks != KEY_SENTINEL) & jnp.concatenate(
         [jnp.ones((1,), bool), ks[1:] != ks[:-1]]
     )
-    slot = jnp.where(head, jnp.cumsum(head) - 1, capacity)
-    slot = jnp.minimum(slot, capacity)  # overflow + non-heads -> dropped row
-    out_keys = jnp.full((capacity + 1,), KEY_SENTINEL, jnp.int32)
-    out_keys = out_keys.at[slot].set(jnp.where(head, ks, KEY_SENTINEL))[:capacity]
-    outs = []
-    for arr in payload:
-        pad_shape = (capacity + 1,) + arr.shape[1:]
-        buf = jnp.zeros(pad_shape, arr.dtype)
-        buf = buf.at[slot].set(jnp.where(head.reshape((-1,) + (1,) * (arr.ndim - 1)), arr, 0))
-        outs.append(buf[:capacity])
+    # compact: stable sort by (1 - head) keeps heads first, key-ordered
+    flag = 1 - head.astype(jnp.int32)
+    sorted2 = jax.lax.sort((flag, ks, *sorted_all[1:]), num_keys=1,
+                           is_stable=True)
     count = jnp.minimum(head.sum(), capacity)
+    if capacity > N:  # static: pad before slicing
+        pad = capacity - N
+        sorted2 = tuple(
+            jnp.concatenate([a, jnp.zeros((pad,), a.dtype)]) for a in sorted2
+        )
+    valid = jnp.arange(capacity, dtype=jnp.int32) < count
+    out_keys = jnp.where(valid, sorted2[1][:capacity], KEY_SENTINEL)
+    outs = []
+    pos = 2
+    for arr, spec in zip(payload, specs):
+        if spec is None:
+            col = jnp.where(valid, sorted2[pos][:capacity], 0)
+            pos += 1
+            outs.append(col.astype(arr.dtype))
+        else:
+            cols = []
+            for _ in range(spec):
+                cols.append(jnp.where(valid, sorted2[pos][:capacity], 0))
+                pos += 1
+            outs.append(jnp.stack(cols, axis=-1).astype(arr.dtype))
     return out_keys, tuple(outs), count
 
 
@@ -180,14 +223,11 @@ def _voxelize_single(points, feats, point_valid, voxel_size, extent,
     origin = jnp.where(point_valid.any(), origin, jnp.zeros((3,), jnp.int32))
     c = coords_raw - origin[None, :]
     keys = jnp.where(point_valid, pack_keys(c, extent), KEY_SENTINEL)
-
-    def payload(order):
-        return (c[order], feats[order])
-
-    out_keys, (out_coords, out_feats), count = _compact_unique(
-        keys, payload, capacity
-    )
+    out_keys, (out_feats,), count = _compact_unique(keys, (feats,), capacity)
     valid = out_keys != KEY_SENTINEL
+    out_coords = jnp.where(valid[:, None],
+                           unpack_keys(jnp.where(valid, out_keys, 0), extent),
+                           0)
     return out_keys, out_coords, out_feats, valid, origin
 
 
@@ -231,12 +271,12 @@ def downsample_grid(grid: VoxelGrid, out_capacity: int) -> VoxelGrid:
     def one(coords, valid):
         cc = coords // 2
         keys = jnp.where(valid, pack_keys(cc, child_extent), KEY_SENTINEL)
-
-        def payload(order):
-            return (cc[order],)
-
-        out_keys, (out_coords,), _ = _compact_unique(keys, payload, out_capacity)
-        return out_keys, out_coords, out_keys != KEY_SENTINEL
+        out_keys, _, _ = _compact_unique(keys, (), out_capacity)
+        ov = out_keys != KEY_SENTINEL
+        out_coords = jnp.where(
+            ov[:, None],
+            unpack_keys(jnp.where(ov, out_keys, 0), child_extent), 0)
+        return out_keys, out_coords, ov
 
     keys, coords, valid = jax.vmap(one)(grid.coords, grid.valid)
     C = grid.features.shape[-1]
@@ -268,12 +308,12 @@ def upsample_candidates(grid: VoxelGrid, out_capacity: int) -> VoxelGrid:
         cand = (coords[:, None, :] * 2 + offs[None, :, :]).reshape(-1, 3)
         v = jnp.repeat(valid, 8)
         keys = jnp.where(v, pack_keys(cand, fine_extent), KEY_SENTINEL)
-
-        def payload(order):
-            return (cand[order],)
-
-        out_keys, (out_coords,), _ = _compact_unique(keys, payload, out_capacity)
-        return out_keys, out_coords, out_keys != KEY_SENTINEL
+        out_keys, _, _ = _compact_unique(keys, (), out_capacity)
+        ov = out_keys != KEY_SENTINEL
+        out_coords = jnp.where(
+            ov[:, None],
+            unpack_keys(jnp.where(ov, out_keys, 0), fine_extent), 0)
+        return out_keys, out_coords, ov
 
     keys, coords, valid = jax.vmap(one)(grid.coords, grid.valid)
     C = grid.features.shape[-1]
