@@ -165,18 +165,21 @@ def main():
         )
         traceback.print_exc(file=sys.stderr)
 
-    # ---- bf16 eval forward ----
-    try:
-        bcfg = cfg.replace(compute_dtype="bfloat16")
-        bmodel = build_model(bcfg, ds)
-        bfwd = jax.jit(lambda v, i: bmodel.apply(v, i, train=False))
-        _sync(bfwd(variables, inputs))
-        bdt = _bench(bfwd, input_sets, iters)
-        detail["bf16_eval_ms"] = round(bdt * 1000, 2)
-    except Exception as e:  # noqa: BLE001
-        detail["bf16_error"] = (
-            f"{type(e).__name__}: {str(e).splitlines()[0][:160]}"
-        )
+    # ---- on-chip kernel smoke gate (compiled Mosaic, not interpret) ----
+    # Note: a separate bf16 eval sub-bench was removed in round 3 — the
+    # TPU default matmul precision already runs bf16-input MXU dots, so
+    # explicit round-trip casts compile to the identical program
+    # (verified bit-identical; ROUND3_NOTES.md).
+    if on_tpu:
+        try:
+            sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+            from tools.tpu_smoke import run_checks
+
+            detail["kernel_smoke"] = run_checks()
+        except Exception as e:  # noqa: BLE001
+            detail["kernel_smoke"] = (
+                f"{type(e).__name__}: {str(e).splitlines()[0][:160]}"
+            )
 
     print(json.dumps({
         "metric": "scannet_eval_forward_throughput",

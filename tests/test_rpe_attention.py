@@ -101,3 +101,96 @@ def test_custom_vjp_grads_match_reference(rng, monkeypatch):
     for a, b in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-4, rtol=5e-3)
+
+
+def _interp_flash(monkeypatch):
+    """Route the flash fwd/bwd kernels through interpret mode."""
+    import functools
+    from vdetr_tpu.ops import rpe_attention as ra
+
+    monkeypatch.setattr(
+        ra, "rpe_cross_attention_pallas",
+        functools.partial(ra.rpe_cross_attention_pallas, tq=8,
+                          interpret=True))
+    orig_bwd = ra._flash_bwd_impl
+    monkeypatch.setattr(
+        ra, "_flash_bwd_impl",
+        functools.partial(orig_bwd, tq=8, interpret=True))
+    return ra
+
+
+@pytest.mark.parametrize("rotate", [False, True])
+def test_flash_backward_matches_reference(rng, monkeypatch, rotate):
+    """The dedicated flash backward kernels (dQ/dK/dV/dTables) equal the
+    reference gradients at dropout 0. Corners/angles are stop-gradient
+    by contract (decoder feeds detached priors)."""
+    ra = _interp_flash(monkeypatch)
+    q, k, v, corners, angles, key_xyz, tables = make_case(rng, B=2, nQ=8,
+                                                          nK=32)
+    mask_np = np.ones((2, 32), np.float32)
+    mask_np[:, 28:] = 0.0
+    mask = jnp.asarray(mask_np)
+    seed = jnp.zeros((), jnp.int32)
+
+    def loss_flash(q, k, v, tables):
+        out = ra.rpe_cross_attention_flash(
+            q, k, v, corners, angles, key_xyz, tables, mask, seed,
+            512.0, 4.0, rotate, 0.0)
+        return (out * jnp.sin(out)).sum()
+
+    def loss_ref(q, k, v, tables):
+        out = ra.rpe_cross_attention_reference(
+            q, k, v, corners, angles, key_xyz, tables, mask > 0.5,
+            log_scale=512.0, max_value=4.0, rotate=rotate)
+        return (out * jnp.sin(out)).sum()
+
+    vf, gf = jax.value_and_grad(loss_flash, argnums=(0, 1, 2, 3))(
+        q, k, v, tables)
+    vr, gr = jax.value_and_grad(loss_ref, argnums=(0, 1, 2, 3))(
+        q, k, v, tables)
+    np.testing.assert_allclose(float(vf), float(vr), rtol=1e-4)
+    for name, a, b in zip(("dq", "dk", "dv", "dtables"), gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-3, rtol=5e-3, err_msg=name)
+
+
+def test_flash_dropout_grads_self_consistent(rng, monkeypatch):
+    """With dropout active the flash op is deterministic given the seed;
+    its custom gradient must match central finite differences of its own
+    forward (which no reference path can provide)."""
+    ra = _interp_flash(monkeypatch)
+    try:
+        from jax.experimental.pallas import tpu as pltpu  # noqa: F401
+        # probe interpret-mode PRNG support
+        import jax.numpy as jnp2
+        _ = ra.rpe_cross_attention_pallas(
+            *make_case(rng, B=1, nQ=8, nK=16), log_scale=512.0,
+            max_value=4.0, dropout_rate=0.5,
+            seed=jnp2.zeros((), jnp2.int32), interpret=True)
+    except Exception as e:  # noqa: BLE001 - interpret PRNG unsupported here
+        pytest.skip(f"interpret-mode PRNG unavailable: {e}")
+
+    q, k, v, corners, angles, key_xyz, tables = make_case(rng, B=1, nQ=8,
+                                                          nK=16)
+    mask = jnp.ones((1, 16), jnp.float32)
+    seed = jnp.asarray(7, jnp.int32)
+    rate = 0.3
+
+    def loss(q, tables):
+        out = ra.rpe_cross_attention_flash(
+            q, k, v, corners, angles, key_xyz, tables, mask, seed,
+            512.0, 4.0, False, rate)
+        return (out * out).sum()
+
+    g_q, g_t = jax.grad(loss, argnums=(0, 1))(q, tables)
+    rs = np.random.RandomState(0)
+    for arg_i, (x, g) in enumerate(((q, g_q), (tables, g_t))):
+        u = jnp.asarray(rs.randn(*x.shape).astype(np.float32))
+        eps = 1e-3
+        args = [q, tables]
+        args_p = list(args); args_p[arg_i] = x + eps * u
+        args_m = list(args); args_m[arg_i] = x - eps * u
+        fd = (loss(*args_p) - loss(*args_m)) / (2 * eps)
+        an = jnp.vdot(g, u)
+        np.testing.assert_allclose(float(an), float(fd), rtol=2e-2,
+                                   atol=1e-3)

@@ -32,9 +32,18 @@ class RandomCuboid:
     def __call__(self, point_cloud, target_boxes, per_point_labels=None,
                  rng: np.random.RandomState = None):
         rng = rng or np.random
-        range_xyz = (
-            point_cloud[:, 0:3].max(axis=0) - point_cloud[:, 0:3].min(axis=0)
-        )
+        # contiguous per-axis copies: every try's range test then runs on
+        # contiguous 1-D arrays instead of strided (N, 3) views (the mask
+        # was ~25% of the per-item loader time, tools/loader_bench.py)
+        xs = np.ascontiguousarray(point_cloud[:, 0])
+        ys = np.ascontiguousarray(point_cloud[:, 1])
+        zs = np.ascontiguousarray(point_cloud[:, 2])
+        mins = np.array([xs.min(), ys.min(), zs.min()])
+        maxs = np.array([xs.max(), ys.max(), zs.max()])
+        range_xyz = maxs - mins
+        have_boxes = target_boxes is not None and len(target_boxes) > 0
+        if have_boxes:
+            centers = target_boxes[:, 0:3]
         for _ in range(100):
             crop = (
                 self.min_crop
@@ -48,21 +57,25 @@ class RandomCuboid:
             new_range = range_xyz * crop / 2.0
             lo = sample_center - new_range
             hi = sample_center + new_range
-            keep = np.all(point_cloud[:, 0:3] >= lo, axis=1) & np.all(
-                point_cloud[:, 0:3] <= hi, axis=1
-            )
-            if keep.sum() < self.min_points:
-                continue
-            if target_boxes is not None and len(target_boxes) > 0:
-                centers = target_boxes[:, 0:3]
+            # the try is accepted iff BOTH the point-count and the
+            # box-center conditions hold; testing the (<=64-row) box
+            # condition first skips the expensive full-cloud mask on
+            # box-rejected tries without changing any rng draw or the
+            # accept/reject sequence
+            if have_boxes:
                 box_keep = np.all(centers >= lo, axis=1) & np.all(
                     centers <= hi, axis=1
                 )
-                if box_keep.sum() == 0:
+                if not box_keep.any():
                     continue
-                new_boxes = target_boxes[box_keep]
-            else:
-                new_boxes = target_boxes
+            keep = (
+                (xs >= lo[0]) & (xs <= hi[0])
+                & (ys >= lo[1]) & (ys <= hi[1])
+                & (zs >= lo[2]) & (zs <= hi[2])
+            )
+            if keep.sum() < self.min_points:
+                continue
+            new_boxes = target_boxes[box_keep] if have_boxes else target_boxes
             new_pc = point_cloud[keep]
             new_labels = None
             if per_point_labels is not None:

@@ -131,8 +131,12 @@ def refine_box_predictions(heads_out, pre_center_normalized,
 class MultiHeadSelfAttention(nn.Module):
     """Vanilla MHA with separate q/k/v (torch nn.MultiheadAttention
     equivalent; packed in_proj is split at checkpoint-import time).
-    compute_dtype=bfloat16 casts the attention matmul inputs; logits and
-    softmax accumulate in float32."""
+
+    No explicit low-precision casts: on TPU the default matmul precision
+    already feeds the MXU bf16 inputs with f32 accumulation, and
+    round-trip astype(bf16).astype(f32) compiles to the identical
+    program (verified bit-identical on-chip; see ROUND3_NOTES.md).
+    compute_dtype is kept for API stability but unused here."""
 
     dim: int
     num_heads: int
@@ -150,20 +154,10 @@ class MultiHeadSelfAttention(nn.Module):
         q = q.reshape(B, N, H, hd) * (hd ** -0.5)
         k = k.reshape(B, N, H, hd)
         v = v.reshape(B, N, H, hd)
-        if self.compute_dtype is not None:
-            # round-trip cast: inputs rounded to compute_dtype, dot runs
-            # as f32-with-rounded-inputs == MXU bf16 matmul + f32
-            # accumulation. XLA:TPU folds the convert back into a bf16
-            # dot; XLA:CPU's DotThunk rejects batched mixed-precision
-            # dots outright, so the dot itself must stay f32 here.
-            q, k, v = (x.astype(self.compute_dtype).astype(jnp.float32)
-                       for x in (q, k, v))
         attn = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                           preferred_element_type=jnp.float32)
         attn = jax.nn.softmax(attn, axis=-1)
         attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
-        if self.compute_dtype is not None:
-            attn = attn.astype(self.compute_dtype).astype(jnp.float32)
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, v,
                          preferred_element_type=jnp.float32
                          ).reshape(B, N, self.dim)
@@ -189,20 +183,10 @@ class ShareSelfAttention(nn.Module):
         k = nn.Dense(hd, kernel_init=xavier_uniform, name="k")(k_in)
         v = nn.Dense(hd, kernel_init=xavier_uniform, name="v")(v_in)
         q = q.reshape(B, N, H, hd) * (hd ** -0.5)
-        if self.compute_dtype is not None:
-            # round-trip cast: inputs rounded to compute_dtype, dot runs
-            # as f32-with-rounded-inputs == MXU bf16 matmul + f32
-            # accumulation. XLA:TPU folds the convert back into a bf16
-            # dot; XLA:CPU's DotThunk rejects batched mixed-precision
-            # dots outright, so the dot itself must stay f32 here.
-            q, k, v = (x.astype(self.compute_dtype).astype(jnp.float32)
-                       for x in (q, k, v))
         attn = jnp.einsum("bqhd,bkd->bhqk", q, k,
                           preferred_element_type=jnp.float32)
         attn = jax.nn.softmax(attn, axis=-1)
         attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
-        if self.compute_dtype is not None:
-            attn = attn.astype(self.compute_dtype).astype(jnp.float32)
         out = jnp.einsum("bhqk,bkd->bqhd", attn, v,
                          preferred_element_type=jnp.float32
                          ).reshape(B, N, self.dim)
@@ -269,18 +253,14 @@ class GlobalShareCrossAttention(nn.Module):
         # fused Pallas path: flash softmax with the RPE bias recomputed per
         # (q-tile, k-tile) in VMEM via the gather-free factorized
         # trilinear contraction (ops/rpe_attention.py), never
-        # materializing (B, H, nQ, nK). Deterministic (no attention
-        # dropout), so it serves the eval path; training keeps the
-        # rematerialized materialized-bias path below.
+        # materializing (B, H, nQ, nK). Serves BOTH eval and training:
+        # the flash backward kernels produce dQ/dK/dV/dTables directly
+        # (corners/angles are stop-gradient priors, transformer.py:539+)
+        # and attention dropout runs in-kernel with a deterministic
+        # per-tile PRNG shared between forward and backward.
         dropout_active = train and self.dropout > 0
-        # eval-only for now: a dropout-free TRAIN step through the fused
-        # forward + reference-path VJP overran the worker deadline in
-        # on-chip testing (the backward recomputes the materialized bias
-        # on top of the kernel forward); training always takes the
-        # rematerialized scan until a flash backward kernel lands
         use_fused = (
             self.impl == "fused"
-            and not train
             and self.seq_axis is None
             and nK % 128 == 0
             and nQ % 32 == 0
@@ -289,23 +269,24 @@ class GlobalShareCrossAttention(nn.Module):
         if use_fused:
             kv_mask = (jnp.ones((B, nK), jnp.float32) if key_valid is None
                        else key_valid.astype(jnp.float32))
-            out = rpe_attention.rpe_cross_attention(
+            if dropout_active:
+                # reference attn_drop (vdetr_transformer.py:471,752)
+                rate = self.dropout
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (), 0,
+                    jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+            else:
+                rate = 0.0
+                seed = jnp.zeros((), jnp.int32)
+            out = rpe_attention.rpe_cross_attention_flash(
                 q, k, v, reference_point, reference_angle, key_xyz, tables,
-                kv_mask, self.log_scale, max_value,
-                self.angle_type == "object_coords",
+                kv_mask, seed, self.log_scale, max_value,
+                self.angle_type == "object_coords", rate,
             ).reshape(B, nQ, self.dim)
             x = nn.Dense(self.dim, kernel_init=xavier_uniform,
                          name="proj")(out)
             return nn.Dropout(self.dropout, deterministic=not train)(x)
 
-        if self.compute_dtype is not None:
-            # round-trip cast: inputs rounded to compute_dtype, dot runs
-            # as f32-with-rounded-inputs == MXU bf16 matmul + f32
-            # accumulation. XLA:TPU folds the convert back into a bf16
-            # dot; XLA:CPU's DotThunk rejects batched mixed-precision
-            # dots outright, so the dot itself must stay f32 here.
-            q, k, v = (x.astype(self.compute_dtype).astype(jnp.float32)
-                       for x in (q, k, v))
 
         attn = jnp.einsum("bqhd,bkd->bhqk", q, k,
                           preferred_element_type=jnp.float32)
@@ -367,8 +348,6 @@ class GlobalShareCrossAttention(nn.Module):
         else:
             attn = jax.nn.softmax(attn, axis=-1)
             attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
-            if self.compute_dtype is not None:
-                attn = attn.astype(self.compute_dtype).astype(jnp.float32)
             out = jnp.einsum("bhqk,bkd->bqhd", attn, v,
                              preferred_element_type=jnp.float32
                              ).reshape(B, nQ, self.dim)

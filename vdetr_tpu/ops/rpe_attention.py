@@ -65,9 +65,89 @@ def _hat(iota, idx):
     return jnp.maximum(1.0 - jnp.abs(iota - idx), 0.0)
 
 
-def _kernel(q_ref, k_ref, v_ref, corners_ref, cossin_ref, kxyz_ref,
-            kvalid_ref, tables_ref, out_ref, m_ref, z_ref, acc_ref,
-            *, n, H, hd, TQ, TK, log_scale, max_value, rotate):
+def _tile_iotas(n, H, E):
+    """Lattice-index iotas and the head-selection matrix, all built
+    directly in their compute layouts (no reshapes)."""
+    row2 = jax.lax.broadcasted_iota(jnp.int32, (n * n, E), 0)
+    rowa = (row2 // n).astype(jnp.float32)             # d-axis lattice idx
+    rowb = (row2 % n).astype(jnp.float32)              # h-axis lattice idx
+    rownh = jax.lax.broadcasted_iota(jnp.int32, (n * H, E), 0)
+    roww = (rownh // H).astype(jnp.float32)            # w-axis lattice idx
+    # head-selection matrix S[h, r] = (r % H == h)
+    sel_r = jax.lax.broadcasted_iota(jnp.int32, (H, n * H), 1)
+    sel_h = jax.lax.broadcasted_iota(jnp.int32, (H, n * H), 0)
+    S = (sel_r % H == sel_h).astype(jnp.float32)
+    return rowa, rowb, roww, S
+
+
+def _corner_tap_fn(corners_ref, cossin_ref, kxyz_ref, *, TQ, E, n,
+                   log_scale, max_value, rotate):
+    """Returns corner_idx(c) -> (iw, ih, id_) quantized (1, E) table
+    indices for corner c of the current tile — shared by the forward and
+    both backward kernels so the recomputed bias taps match exactly."""
+    kx = kxyz_ref[0, 0:1, :]               # (1, TK)
+    ky = kxyz_ref[0, 1:2, :]
+    kz = kxyz_ref[0, 2:3, :]
+    if rotate:
+        co = cossin_ref[0][:, 0].reshape(TQ, 1)
+        si = cossin_ref[0][:, 1].reshape(TQ, 1)
+
+    def corner_idx(c):
+        cx = corners_ref[0][:, 3 * c + 0].reshape(TQ, 1)
+        cy = corners_ref[0][:, 3 * c + 1].reshape(TQ, 1)
+        cz = corners_ref[0][:, 3 * c + 2].reshape(TQ, 1)
+        dx = cx - kx                                   # (TQ, TK)
+        dy = cy - ky
+        dz = cz - kz
+        if rotate:
+            dx, dy = dx * co - dy * si, dx * si + dy * co
+        # component 0 -> last table axis (w), 1 -> h, 2 -> d
+        iw = _quantize(dx, log_scale, max_value, n).reshape(1, E)
+        ih = _quantize(dy, log_scale, max_value, n).reshape(1, E)
+        id_ = _quantize(dz, log_scale, max_value, n).reshape(1, E)
+        return iw, ih, id_
+
+    return corner_idx
+
+
+def _bias_tile(corner_idx, tables_ref, iotas, n, H):
+    """(H*TQ-row-compatible) RPE bias for one tile: returns the (H, E)
+    per-head bias (the caller reshapes to (H*TQ, TK))."""
+    rowa, rowb, roww, S = iotas
+    E = rowa.shape[1]
+    v40 = jnp.zeros((n * H, E), jnp.float32)
+    for c in range(8):
+        iw, ih, id_ = corner_idx(c)
+        P = _hat(rowa, id_) * _hat(rowb, ih)
+        U = jax.lax.dot_general(
+            tables_ref[c], P, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                              # (n*H, E)
+        v40 = v40 + U * _hat(roww, iw)
+    return jax.lax.dot_general(
+        S, v40, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                  # (H, E)
+
+
+def _dropout_scale(seed_ref, tile_id, shape, rate):
+    """Deterministic inverted-dropout scale mask: 0 or 1/(1-rate).
+
+    Seeded by (user seed + flat tile id) so the forward and both backward
+    kernels regenerate the identical mask for a tile regardless of their
+    grid iteration order. Matches reference attn_drop semantics
+    (vdetr_transformer.py:752: dropout on post-softmax probs — applied
+    here to unnormalized weights, identical because the softmax
+    denominator never sees dropout)."""
+    pltpu.prng_seed(seed_ref[0] + tile_id)
+    bits = pltpu.prng_random_bits(shape)               # uint32
+    u = (bits >> jnp.uint32(8)).astype(jnp.float32) * (1.0 / (1 << 24))
+    return (u >= rate).astype(jnp.float32) * (1.0 / (1.0 - rate))
+
+
+def _kernel(seed_ref, q_ref, k_ref, v_ref, corners_ref, cossin_ref, kxyz_ref,
+            kvalid_ref, tables_ref, out_ref, lse_ref, m_ref, z_ref, acc_ref,
+            *, n, H, hd, TQ, TK, log_scale, max_value, rotate, dropout_rate):
     """Grid (B, nQ/TQ, nK/TK), k innermost. Scratch m/z/acc persist
     across the k dimension (flash-attention pattern).
 
@@ -86,7 +166,10 @@ def _kernel(q_ref, k_ref, v_ref, corners_ref, cossin_ref, kxyz_ref,
     VMEM; no gathers. All dots run at the backend's default matmul
     precision (bf16 inputs / f32 accumulation on TPU — explicit bf16
     casts are no-ops, measured bit-identical)."""
+    b = pl.program_id(0)
+    iq = pl.program_id(1)
     ik = pl.program_id(2)
+    nqt = pl.num_programs(1)
     nk = pl.num_programs(2)
     E = TQ * TK
     HTQ = H * TQ
@@ -100,12 +183,6 @@ def _kernel(q_ref, k_ref, v_ref, corners_ref, cossin_ref, kxyz_ref,
     k_tile = k_ref[0]                      # (TK, hd)
     v_tile = v_ref[0]                      # (TK, hd)
     kvalid = kvalid_ref[0]                 # (1, TK)
-    kx = kxyz_ref[0, 0:1, :]               # (1, TK)
-    ky = kxyz_ref[0, 1:2, :]
-    kz = kxyz_ref[0, 2:3, :]
-    if rotate:
-        co = cossin_ref[0][:, 0].reshape(TQ, 1)
-        si = cossin_ref[0][:, 1].reshape(TQ, 1)
 
     # all-head logits in one dot: (H*TQ, hd) @ (TK, hd)^T -> (H*TQ, TK)
     logits = jax.lax.dot_general(
@@ -123,39 +200,11 @@ def _kernel(q_ref, k_ref, v_ref, corners_ref, cossin_ref, kxyz_ref,
     # (H, n*H) @ (n*H, E) AFTER summing corners. No reshapes of wide
     # intermediates: Mosaic relayouts of (10,10,E)<->(100,E) were
     # measured at ~7 ms/layer (tools/rpe_ablate.py); this form has none.
-    row2 = jax.lax.broadcasted_iota(jnp.int32, (n * n, E), 0)
-    rowa = (row2 // n).astype(jnp.float32)             # d-axis lattice idx
-    rowb = (row2 % n).astype(jnp.float32)              # h-axis lattice idx
-    rownh = jax.lax.broadcasted_iota(jnp.int32, (n * H, E), 0)
-    roww = (rownh // H).astype(jnp.float32)            # w-axis lattice idx
-    # head-selection matrix S[h, r] = (r % H == h)
-    sel_r = jax.lax.broadcasted_iota(jnp.int32, (H, n * H), 1)
-    sel_h = jax.lax.broadcasted_iota(jnp.int32, (H, n * H), 0)
-    S = (sel_r % H == sel_h).astype(jnp.float32)
-    v40 = jnp.zeros((n * H, E), jnp.float32)
-    for c in range(8):
-        cx = corners_ref[0][:, 3 * c + 0].reshape(TQ, 1)
-        cy = corners_ref[0][:, 3 * c + 1].reshape(TQ, 1)
-        cz = corners_ref[0][:, 3 * c + 2].reshape(TQ, 1)
-        dx = cx - kx                                   # (TQ, TK)
-        dy = cy - ky
-        dz = cz - kz
-        if rotate:
-            dx, dy = dx * co - dy * si, dx * si + dy * co
-        # component 0 -> last table axis (w), 1 -> h, 2 -> d
-        iw = _quantize(dx, log_scale, max_value, n).reshape(1, E)
-        ih = _quantize(dy, log_scale, max_value, n).reshape(1, E)
-        id_ = _quantize(dz, log_scale, max_value, n).reshape(1, E)
-        P = _hat(rowa, id_) * _hat(rowb, ih)
-        U = jax.lax.dot_general(
-            tables_ref[c], P, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                              # (n*H, E)
-        v40 = v40 + U * _hat(roww, iw)
-    bias_heads = jax.lax.dot_general(
-        S, v40, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                                  # (H, E)
+    corner_idx = _corner_tap_fn(corners_ref, cossin_ref, kxyz_ref, TQ=TQ,
+                                E=E, n=n, log_scale=log_scale,
+                                max_value=max_value, rotate=rotate)
+    iotas = _tile_iotas(n, H, E)
+    bias_heads = _bias_tile(corner_idx, tables_ref, iotas, n, H)
     logits = logits + bias_heads.reshape(HTQ, TK)
 
     # streaming softmax update, all H*TQ rows at once
@@ -164,9 +213,17 @@ def _kernel(q_ref, k_ref, v_ref, corners_ref, cossin_ref, kxyz_ref,
     m_new = jnp.maximum(m_old, jnp.max(l, axis=1, keepdims=True))
     alpha = jnp.exp(m_old - m_new)
     p = jnp.exp(l - m_new)                             # (HTQ, TK)
+    # dropout scales the numerator only; the denominator z never sees it
+    # (== post-softmax dropout, reference vdetr_transformer.py:752)
+    if dropout_rate > 0.0:
+        g = _dropout_scale(seed_ref, (b * nqt + iq) * nk + ik,
+                           (HTQ, TK), dropout_rate)
+        pv = p * g
+    else:
+        pv = p
     z_new = z_ref[:, :] * alpha + jnp.sum(p, axis=1, keepdims=True)
     acc_new = acc_ref[:, :] * alpha + jax.lax.dot_general(
-        p, v_tile, (((1,), (0,)), ((), ())),
+        pv, v_tile, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     m_ref[:, :] = m_new
@@ -175,20 +232,63 @@ def _kernel(q_ref, k_ref, v_ref, corners_ref, cossin_ref, kxyz_ref,
 
     @pl.when(ik == nk - 1)
     def _():
-        out_ref[0, 0] = acc_ref[:, :] / jnp.maximum(z_ref[:, :], 1e-30)
+        z = z_ref[:, :]
+        out_ref[0, 0] = acc_ref[:, :] / jnp.maximum(z, 1e-30)
+        # logsumexp for the flash backward; 0 for fully-masked rows so
+        # exp(l - lse) stays 0 instead of NaN
+        lse_ref[0, 0] = jnp.where(
+            z > 0, m_ref[:, :] + jnp.log(jnp.maximum(z, 1e-30)), 0.0)
+
+
+def _block_q(x, B, nqt, tq, H, hd):
+    """(B, nQ, H, hd) -> (B, nQ/tq, H*tq, hd), rows head-major per tile."""
+    return x.reshape(B, nqt, tq, H, hd).transpose(0, 1, 3, 2, 4).reshape(
+        B, nqt, H * tq, hd)
+
+
+def _unblock_q(x, B, nqt, tq, H, hd):
+    """Inverse of _block_q."""
+    return x.reshape(B, nqt, H, tq, hd).transpose(0, 1, 3, 2, 4).reshape(
+        B, nqt * tq, H, hd)
+
+
+def _prep_inputs(q, k, corners, angles, key_xyz, key_valid, tables, tq, tk):
+    """Shared host-side input massaging for the forward/backward kernels."""
+    B, nQ, H, hd = q.shape
+    nK = k.shape[1]
+    TK = tk if tk is not None else min(128, nK)
+    tq = min(tq, nQ)
+    assert nK % TK == 0, f"nK={nK} must be a multiple of {TK}"
+    assert nQ % tq == 0, f"nQ={nQ} must be a multiple of {tq}"
+    nqt = nQ // tq
+    q_t = _block_q(q, B, nqt, tq, H, hd)
+    corners_t = corners.reshape(B, nQ, 24)
+    cossin = jnp.stack([jnp.cos(angles), jnp.sin(angles)], axis=2)
+    kxyz_t = jnp.moveaxis(key_xyz, 1, 2)               # (B, 3, nK)
+    if key_valid is None:
+        kvalid = jnp.ones((B, 1, nK), jnp.float32)
+    else:
+        kvalid = key_valid.astype(jnp.float32).reshape(B, 1, nK)
+    tables_in = _flatten_tables(tables)                # (8, n^2, n*H)
+    return q_t, corners_t, cossin, kxyz_t, kvalid, tables_in, TK, tq, nqt
 
 
 def rpe_cross_attention_pallas(q, k, v, corners, angles, key_xyz, tables,
                                key_valid=None, *, log_scale: float,
                                max_value: float, rotate: bool = False,
                                tq: int = 32, tk: Optional[int] = None,
+                               dropout_rate: float = 0.0, seed=None,
+                               return_lse: bool = False,
                                interpret: bool = False):
     """Fused kernel entry.
 
     q: (B, nQ, H, hd) pre-scaled by hd^-0.5; k, v: (B, nK, hd);
     corners: (B, nQ, 8, 3); angles: (B, nQ); key_xyz: (B, nK, 3);
     tables: (8, n, n, n, H); key_valid: (B, nK) or None.
-    Returns (B, nQ, H, hd) float32.
+    dropout_rate/seed: deterministic in-kernel attention dropout
+    (reference attn_drop); seed is an int32 scalar array.
+    Returns (B, nQ, H, hd) float32 (plus blocked (B, nQ/tq, H*tq, 1)
+    logsumexp when return_lse).
 
     The q tensor is pre-blocked host-side to (B, nQ/tq, H*tq, hd)
     (head-major rows inside each q tile) so every kernel dot runs at
@@ -200,65 +300,352 @@ def rpe_cross_attention_pallas(q, k, v, corners, angles, key_xyz, tables,
     B, nQ, H, hd = q.shape
     nK = k.shape[1]
     n = tables.shape[1]
-    TK = tk if tk is not None else min(128, nK)
-    tq = min(tq, nQ)
-    assert nK % TK == 0, f"nK={nK} must be a multiple of {TK}"
-    assert nQ % tq == 0, f"nQ={nQ} must be a multiple of {tq}"
-    nqt = nQ // tq
-
-    # (B, nQ, H, hd) -> (B, nQ/tq, H*tq, hd), rows head-major per tile
-    q_t = q.reshape(B, nqt, tq, H, hd).transpose(0, 1, 3, 2, 4).reshape(
-        B, nqt, H * tq, hd)
-    corners_t = corners.reshape(B, nQ, 24)             # (B, nQ, 24)
-    cossin = jnp.stack([jnp.cos(angles), jnp.sin(angles)], axis=2)  # (B,nQ,2)
-    kxyz_t = jnp.moveaxis(key_xyz, 1, 2)               # (B, 3, nK)
-    if key_valid is None:
-        kvalid = jnp.ones((B, 1, nK), jnp.float32)
+    (q_t, corners_t, cossin, kxyz_t, kvalid, tables_in, TK, tq,
+     nqt) = _prep_inputs(q, k, corners, angles, key_xyz, key_valid, tables,
+                         tq, tk)
+    if seed is None:
+        seed = jnp.zeros((1,), jnp.int32)
     else:
-        kvalid = key_valid.astype(jnp.float32).reshape(B, 1, nK)
-    tables_in = _flatten_tables(tables)                # (8, n^2, n*H)
+        seed = jnp.asarray(seed, jnp.int32).reshape(1)
 
     grid = (B, nqt, nK // TK)
     kernel = functools.partial(
         _kernel, n=n, H=H, hd=hd, TQ=tq, TK=TK, log_scale=log_scale,
-        max_value=max_value, rotate=rotate,
+        max_value=max_value, rotate=rotate, dropout_rate=dropout_rate,
     )
-    out = pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, H * tq, hd),
-                         lambda b, iq, ik: (b, iq, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TK, hd), lambda b, iq, ik: (b, ik, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TK, hd), lambda b, iq, ik: (b, ik, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tq, 24), lambda b, iq, ik: (b, iq, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tq, 2), lambda b, iq, ik: (b, iq, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, TK), lambda b, iq, ik: (b, 0, ik),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, TK), lambda b, iq, ik: (b, 0, ik),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, n * n, n * H), lambda b, iq, ik: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
+                         lambda b, iq, ik, *_: (b, iq, 0, 0)),
+            pl.BlockSpec((1, TK, hd), lambda b, iq, ik, *_: (b, ik, 0)),
+            pl.BlockSpec((1, TK, hd), lambda b, iq, ik, *_: (b, ik, 0)),
+            pl.BlockSpec((1, tq, 24), lambda b, iq, ik, *_: (b, iq, 0)),
+            pl.BlockSpec((1, tq, 2), lambda b, iq, ik, *_: (b, iq, 0)),
+            pl.BlockSpec((1, 3, TK), lambda b, iq, ik, *_: (b, 0, ik)),
+            pl.BlockSpec((1, 1, TK), lambda b, iq, ik, *_: (b, 0, ik)),
+            pl.BlockSpec((8, n * n, n * H), lambda b, iq, ik, *_: (0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, H * tq, hd),
-                               lambda b, iq, ik: (b, iq, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, nqt, H * tq, hd), jnp.float32),
+        out_specs=[
+            pl.BlockSpec((1, 1, H * tq, hd),
+                         lambda b, iq, ik, *_: (b, iq, 0, 0)),
+            pl.BlockSpec((1, 1, H * tq, 1),
+                         lambda b, iq, ik, *_: (b, iq, 0, 0)),
+        ],
         scratch_shapes=[
             pltpu.VMEM((H * tq, 1), jnp.float32),    # running max
             pltpu.VMEM((H * tq, 1), jnp.float32),    # running denom
             pltpu.VMEM((H * tq, hd), jnp.float32),   # output accumulator
         ],
+    )
+    out, lse = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, nqt, H * tq, hd), jnp.float32),
+            jax.ShapeDtypeStruct((B, nqt, H * tq, 1), jnp.float32),
+        ],
         interpret=interpret,
-    )(q_t, k, v, corners_t, cossin, kxyz_t, kvalid, tables_in)
-    # (B, nQ/tq, H*tq, hd) -> (B, nQ, H, hd)
-    return out.reshape(B, nqt, H, tq, hd).transpose(0, 1, 3, 2, 4).reshape(
-        B, nQ, H, hd)
+    )(seed, q_t, k, v, corners_t, cossin, kxyz_t, kvalid, tables_in)
+    out = _unblock_q(out, B, nqt, tq, H, hd)
+    if return_lse:
+        return out, lse
+    return out
+
+
+def _recompute_p(seed_ref, q_tile, k_tile, kvalid, corners_ref, cossin_ref,
+                 kxyz_ref, tables_ref, lse, tile_id, *, n, H, TQ, TK,
+                 log_scale, max_value, rotate, dropout_rate):
+    """Shared backward-tile recomputation: normalized probs e = exp(l-lse)
+    (masked), the dropout scale g, and the tap-closure/iotas for dT."""
+    E = TQ * TK
+    HTQ = H * TQ
+    logits = jax.lax.dot_general(
+        q_tile, k_tile, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    corner_idx = _corner_tap_fn(corners_ref, cossin_ref, kxyz_ref, TQ=TQ,
+                                E=E, n=n, log_scale=log_scale,
+                                max_value=max_value, rotate=rotate)
+    iotas = _tile_iotas(n, H, E)
+    bias_heads = _bias_tile(corner_idx, tables_ref, iotas, n, H)
+    logits = logits + bias_heads.reshape(HTQ, TK)
+    l = jnp.where(kvalid > 0, logits, NEG_INF)
+    e = jnp.exp(l - lse)                               # (HTQ, TK) sums to 1
+    e = jnp.where(kvalid > 0, e, 0.0)
+    if dropout_rate > 0.0:
+        g = _dropout_scale(seed_ref, tile_id, (HTQ, TK), dropout_rate)
+    else:
+        g = None
+    return e, g, corner_idx, iotas
+
+
+def _bwd_kernel_a(seed_ref, q_ref, k_ref, v_ref, corners_ref, cossin_ref,
+                  kxyz_ref, kvalid_ref, tables_ref, do_ref, lse_ref, dd_ref,
+                  dq_ref, dt_ref, dq_acc,
+                  *, n, H, hd, TQ, TK, log_scale, max_value, rotate,
+                  dropout_rate):
+    """Flash backward pass 1: dQ (accumulated over k tiles, grid k-inner)
+    and dTables (accumulated in a VMEM-resident constant output block
+    across the whole grid — the TPU grid is sequential).
+
+    Gradient notation: e = normalized probs, g = dropout scale, O/dO the
+    forward output and its cotangent, D = rowsum(dO * O). Then
+    dlogits = e * (g * (dO @ V^T) - D), dQ = dlogits @ K,
+    dBias = dlogits, dTables_c = P_c @ (S^T dBias_heads * hat_w_c)^T.
+    Corner/angle/key_xyz gradients are NOT produced: the decoder feeds
+    stop-gradient boxes (models/transformer.py:539-545,568-573)."""
+    b = pl.program_id(0)
+    iq = pl.program_id(1)
+    ik = pl.program_id(2)
+    nqt = pl.num_programs(1)
+    nk = pl.num_programs(2)
+    HTQ = H * TQ
+
+    @pl.when(ik == 0)
+    def _():
+        dq_acc[:, :] = jnp.zeros((HTQ, hd), jnp.float32)
+
+    @pl.when((b == 0) & (iq == 0) & (ik == 0))
+    def _():
+        dt_ref[:, :, :] = jnp.zeros(dt_ref.shape, dt_ref.dtype)
+
+    k_tile = k_ref[0]
+    v_tile = v_ref[0]
+    do_tile = do_ref[0, 0]                             # (HTQ, hd)
+    lse = lse_ref[0, 0]                                # (HTQ, 1)
+    dd = dd_ref[0, 0]                                  # (HTQ, 1)
+    e, g, corner_idx, iotas = _recompute_p(
+        seed_ref, q_ref[0, 0], k_tile, kvalid_ref[0], corners_ref,
+        cossin_ref, kxyz_ref, tables_ref, lse, (b * nqt + iq) * nk + ik,
+        n=n, H=H, TQ=TQ, TK=TK, log_scale=log_scale, max_value=max_value,
+        rotate=rotate, dropout_rate=dropout_rate)
+    dp = jax.lax.dot_general(
+        do_tile, v_tile, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                  # (HTQ, TK)
+    if g is not None:
+        dp = dp * g
+    ds = e * (dp - dd)                                 # (HTQ, TK)
+    dq_acc[:, :] = dq_acc[:, :] + jax.lax.dot_general(
+        ds, k_tile, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    # dTables: dv40 = S^T @ dBias_heads, per corner dU = dv40 * hat_w,
+    # dT_c += P_c @ dU^T (contract over the E lanes)
+    rowa, rowb, roww, S = iotas
+    E = TQ * TK
+    dbias = ds.reshape(H, E)
+    dv40 = jax.lax.dot_general(
+        S, dbias, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                  # (n*H, E)
+    for c in range(8):
+        iw, ih, id_ = corner_idx(c)
+        P = _hat(rowa, id_) * _hat(rowb, ih)           # (n^2, E)
+        dU = dv40 * _hat(roww, iw)                     # (n*H, E)
+        dt_ref[c] = dt_ref[c] + jax.lax.dot_general(
+            P, dU, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                              # (n^2, n*H)
+
+    @pl.when(ik == nk - 1)
+    def _():
+        dq_ref[0, 0] = dq_acc[:, :]
+
+
+def _bwd_kernel_b(seed_ref, q_ref, k_ref, v_ref, corners_ref, cossin_ref,
+                  kxyz_ref, kvalid_ref, tables_ref, do_ref, lse_ref, dd_ref,
+                  dk_ref, dv_ref, dk_acc, dv_acc,
+                  *, n, H, hd, TQ, TK, log_scale, max_value, rotate,
+                  dropout_rate):
+    """Flash backward pass 2: dK and dV, grid (B, k-tiles, q-tiles) with
+    q innermost so the (TK, hd) accumulators stay resident per k tile.
+    dV = (g*e)^T @ dO, dK = dlogits^T @ Q."""
+    b = pl.program_id(0)
+    ik = pl.program_id(1)
+    iq = pl.program_id(2)
+    nk = pl.num_programs(1)
+    nqt = pl.num_programs(2)
+
+    @pl.when(iq == 0)
+    def _():
+        dk_acc[:, :] = jnp.zeros((TK, hd), jnp.float32)
+        dv_acc[:, :] = jnp.zeros((TK, hd), jnp.float32)
+
+    k_tile = k_ref[0]
+    q_tile = q_ref[0, 0]                               # (HTQ, hd)
+    do_tile = do_ref[0, 0]
+    lse = lse_ref[0, 0]
+    dd = dd_ref[0, 0]
+    e, g, _, _ = _recompute_p(
+        seed_ref, q_tile, k_tile, kvalid_ref[0], corners_ref, cossin_ref,
+        kxyz_ref, tables_ref, lse, (b * nqt + iq) * nk + ik,
+        n=n, H=H, TQ=TQ, TK=TK, log_scale=log_scale, max_value=max_value,
+        rotate=rotate, dropout_rate=dropout_rate)
+    eg = e if g is None else e * g
+    dv_acc[:, :] = dv_acc[:, :] + jax.lax.dot_general(
+        eg, do_tile, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                  # (TK, hd)
+    dp = jax.lax.dot_general(
+        do_tile, v_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if g is not None:
+        dp = dp * g
+    ds = e * (dp - dd)
+    dk_acc[:, :] = dk_acc[:, :] + jax.lax.dot_general(
+        ds, q_tile, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                  # (TK, hd)
+
+    @pl.when(iq == nqt - 1)
+    def _():
+        dk_ref[0] = dk_acc[:, :]
+        dv_ref[0] = dv_acc[:, :]
+
+
+def _flash_fwd_impl(q, k, v, corners, angles, key_xyz, tables, key_valid_f,
+                    seed, log_scale, max_value, rotate, dropout_rate):
+    return rpe_cross_attention_pallas(
+        q, k, v, corners, angles, key_xyz, tables, key_valid_f > 0.5,
+        log_scale=log_scale, max_value=max_value, rotate=rotate,
+        dropout_rate=dropout_rate, seed=seed, return_lse=True,
+    )
+
+
+def _flash_bwd_impl(q, k, v, corners, angles, key_xyz, tables, key_valid_f,
+                    seed, out, lse, g_out, log_scale, max_value, rotate,
+                    dropout_rate, tq=32, tk=None, interpret=False):
+    """Launch both backward kernels; returns (dq, dk, dv, dtables)."""
+    B, nQ, H, hd = q.shape
+    nK = k.shape[1]
+    n = tables.shape[1]
+    (q_t, corners_t, cossin, kxyz_t, kvalid, tables_in, TK, tq,
+     nqt) = _prep_inputs(q, k, corners, angles, key_xyz, key_valid_f > 0.5,
+                         tables, tq, tk)
+    seed = jnp.zeros((1,), jnp.int32) if seed is None else (
+        jnp.asarray(seed, jnp.int32).reshape(1))
+    do_t = _block_q(g_out, B, nqt, tq, H, hd)
+    # D = rowsum(dO * O) per (head, query) row, in blocked layout
+    dd = jnp.sum(_block_q(out, B, nqt, tq, H, hd) * do_t, axis=-1,
+                 keepdims=True)                        # (B, nqt, HTQ, 1)
+    nkt = nK // TK
+    common = dict(n=n, H=H, hd=hd, TQ=tq, TK=TK, log_scale=log_scale,
+                  max_value=max_value, rotate=rotate,
+                  dropout_rate=dropout_rate)
+    qspec = pl.BlockSpec((1, 1, H * tq, hd), lambda b, i, j, *_: (b, i, 0, 0))
+    qspec_j = pl.BlockSpec((1, 1, H * tq, hd), lambda b, i, j, *_: (b, j, 0, 0))
+    aux = pl.BlockSpec((1, 1, H * tq, 1), lambda b, i, j, *_: (b, i, 0, 0))
+    aux_j = pl.BlockSpec((1, 1, H * tq, 1), lambda b, i, j, *_: (b, j, 0, 0))
+    kspec = pl.BlockSpec((1, TK, hd), lambda b, i, j, *_: (b, j, 0))
+    kspec_i = pl.BlockSpec((1, TK, hd), lambda b, i, j, *_: (b, i, 0))
+    cspec = pl.BlockSpec((1, tq, 24), lambda b, i, j, *_: (b, i, 0))
+    cspec_j = pl.BlockSpec((1, tq, 24), lambda b, i, j, *_: (b, j, 0))
+    aspec = pl.BlockSpec((1, tq, 2), lambda b, i, j, *_: (b, i, 0))
+    aspec_j = pl.BlockSpec((1, tq, 2), lambda b, i, j, *_: (b, j, 0))
+    xspec = pl.BlockSpec((1, 3, TK), lambda b, i, j, *_: (b, 0, j))
+    xspec_i = pl.BlockSpec((1, 3, TK), lambda b, i, j, *_: (b, 0, i))
+    mspec = pl.BlockSpec((1, 1, TK), lambda b, i, j, *_: (b, 0, j))
+    mspec_i = pl.BlockSpec((1, 1, TK), lambda b, i, j, *_: (b, 0, i))
+    tspec = pl.BlockSpec((8, n * n, n * H), lambda b, i, j, *_: (0, 0, 0))
+
+    dq_t, dtab = pl.pallas_call(
+        functools.partial(_bwd_kernel_a, **common),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, nqt, nkt),
+            in_specs=[qspec, kspec, kspec, cspec, aspec, xspec, mspec,
+                      tspec, qspec, aux, aux],
+            out_specs=[
+                qspec,
+                pl.BlockSpec((8, n * n, n * H), lambda b, i, j, *_: (0, 0, 0)),
+            ],
+            scratch_shapes=[pltpu.VMEM((H * tq, hd), jnp.float32)],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((B, nqt, H * tq, hd), jnp.float32),
+            jax.ShapeDtypeStruct((8, n * n, n * H), jnp.float32),
+        ],
+        interpret=interpret,
+    )(seed, q_t, k, v, corners_t, cossin, kxyz_t, kvalid, tables_in,
+      do_t, lse, dd)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel_b, **common),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, nkt, nqt),
+            in_specs=[qspec_j, kspec_i, kspec_i, cspec_j, aspec_j, xspec_i,
+                      mspec_i, tspec, qspec_j, aux_j, aux_j],
+            out_specs=[
+                pl.BlockSpec((1, TK, hd), lambda b, i, j, *_: (b, i, 0)),
+                pl.BlockSpec((1, TK, hd), lambda b, i, j, *_: (b, i, 0)),
+            ],
+            scratch_shapes=[pltpu.VMEM((TK, hd), jnp.float32),
+                            pltpu.VMEM((TK, hd), jnp.float32)],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((B, nK, hd), jnp.float32),
+            jax.ShapeDtypeStruct((B, nK, hd), jnp.float32),
+        ],
+        interpret=interpret,
+    )(seed, q_t, k, v, corners_t, cossin, kxyz_t, kvalid, tables_in,
+      do_t, lse, dd)
+
+    dq = _unblock_q(dq_t, B, nqt, tq, H, hd)
+    dtables = dtab.reshape(tables.shape)
+    return dq, dk, dv, dtables
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12))
+def rpe_cross_attention_flash(q, k, v, corners, angles, key_xyz, tables,
+                              key_valid_f, seed, log_scale, max_value,
+                              rotate, dropout_rate):
+    """Fully-fused differentiable RPE cross-attention: Pallas flash
+    forward AND backward (dQ/dK/dV/dTables), with deterministic in-kernel
+    attention dropout.
+
+    IMPORTANT: corners/angles/key_xyz/key_valid receive ZERO gradients —
+    the decoder refines boxes against stop-gradient priors
+    (models/transformer.py:539-545,568-573, mirroring reference
+    vdetr_transformer.py detached-prior refinement) and key_xyz is the
+    non-differentiable voxel lattice. Do not use this entry if gradient
+    flow through box corners is required; use rpe_cross_attention
+    (reference-path VJP) instead.
+
+    seed: int32 scalar array; vary per step for fresh dropout masks.
+    """
+    out, _ = _flash_fwd_impl(q, k, v, corners, angles, key_xyz, tables,
+                             key_valid_f, seed, log_scale, max_value,
+                             rotate, dropout_rate)
+    return out
+
+
+def _flash_vjp_fwd(q, k, v, corners, angles, key_xyz, tables, key_valid_f,
+                   seed, log_scale, max_value, rotate, dropout_rate):
+    out, lse = _flash_fwd_impl(q, k, v, corners, angles, key_xyz, tables,
+                               key_valid_f, seed, log_scale, max_value,
+                               rotate, dropout_rate)
+    return out, (q, k, v, corners, angles, key_xyz, tables, key_valid_f,
+                 seed, out, lse)
+
+
+def _flash_vjp_bwd(log_scale, max_value, rotate, dropout_rate, res, g_out):
+    (q, k, v, corners, angles, key_xyz, tables, key_valid_f, seed, out,
+     lse) = res
+    dq, dk, dv, dtables = _flash_bwd_impl(
+        q, k, v, corners, angles, key_xyz, tables, key_valid_f, seed, out,
+        lse, g_out, log_scale, max_value, rotate, dropout_rate)
+    zero_seed = np.zeros(seed.shape, dtype=jax.dtypes.float0)
+    return (dq, dk, dv, jnp.zeros_like(corners), jnp.zeros_like(angles),
+            jnp.zeros_like(key_xyz), dtables, jnp.zeros_like(key_valid_f),
+            zero_seed)
+
+
+rpe_cross_attention_flash.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
