@@ -34,6 +34,20 @@ from vdetr_tpu.config import VDETRConfig
 # transpose convs (both enumerations share the same axis-order/sign
 # ambiguity; tools/verify_port.py derives the pair from one relabeling
 # and can search all 48 candidates against golden reference outputs).
+#
+# STATUS (round 3): None remains an ASSUMPTION — MinkowskiEngine is not
+# installable in this environment (no pip, no egress), so the z-fastest
+# enumeration (ops/sparse_conv._offsets) has not been calibrated against
+# real ME outputs. The ambiguity is however now ISOLATED to the backbone
+# conv kernels only: every module downstream of the backbone (RPE
+# cross-attention incl. object_coords rotation, ShareSelfAttention,
+# PositionEmbeddingLearned, the full GlobalDecoderLayer) is verified
+# numerically against the reference's own torch code with ported weights
+# (tests/test_reference_module_parity.py). To pin this before trusting a
+# ported .pth end-to-end, run `tools/verify_port.py verify --search-perm`
+# against a golden generated in an ME-capable environment
+# (tools/reference_golden.py) — the 48-candidate search covers every
+# axis-order/sign relabeling of the hypercube offsets.
 KERNEL_OFFSET_PERMUTATION: Optional[Dict[int, np.ndarray]] = None
 
 
