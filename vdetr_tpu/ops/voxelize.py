@@ -99,9 +99,11 @@ def lookup_binary(keys_sorted, query_keys):
     return jnp.where(hit, pos_c, V)
 
 
-def lookup(keys_sorted, query_keys):
-    """Sorted-set membership via double sort (same contract as
-    `lookup_binary`: idx in [0, V) for hits, V for misses).
+def _lookup_core(keys_sorted, query_keys):
+    """Shared double-sort machinery: returns (idx, rank_left) per query.
+
+    idx: position of the query key in keys_sorted for hits, V for misses.
+    rank_left: searchsorted-left insertion position (== idx for hits).
 
     TPU-native formulation: merge keys and queries with ONE stable
     multi-operand sort, compute each query's insertion rank with a
@@ -134,9 +136,23 @@ def lookup(keys_sorted, query_keys):
     )
     hit = (lastkey == sk) & (sk != KEY_SENTINEL)
     idx_sorted = jnp.where(hit, rank - 1, V).astype(jnp.int32)
+    # keys are unique, so searchsorted-left = at-or-before minus the hit
+    rank_left = (rank - hit.astype(jnp.int32)).astype(jnp.int32)
     # un-sort: order by original position (a sort, not a scatter)
-    _, idx = jax.lax.sort((sorig, idx_sorted), num_keys=1)
-    return idx[V:].reshape(qshape)
+    _, idx, rl = jax.lax.sort((sorig, idx_sorted, rank_left), num_keys=1)
+    return idx[V:].reshape(qshape), rl[V:].reshape(qshape)
+
+
+def lookup(keys_sorted, query_keys):
+    """Sorted-set membership via double sort (same contract as
+    `lookup_binary`: idx in [0, V) for hits, V for misses)."""
+    return _lookup_core(keys_sorted, query_keys)[0]
+
+
+def lookup_rank(keys_sorted, query_keys):
+    """searchsorted-left positions of query_keys in keys_sorted (the
+    double-sort formulation; see _lookup_core)."""
+    return _lookup_core(keys_sorted, query_keys)[1]
 
 
 def unpack_keys(keys, extent):
