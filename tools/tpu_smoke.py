@@ -103,26 +103,72 @@ def run_checks():
     except Exception as e:  # noqa: BLE001
         results["rpe_bwd_parity"] = f"ERROR: {str(e).splitlines()[0][:120]}"
 
-    # ---- dropout path: deterministic + grad == finite difference
+    # ---- dropout path: mask extraction + analytic-grad consistency.
+    # out is LINEAR in v, so running the forward with identity blocks in
+    # v extracts the effective weight matrix W = g*e exactly; rate=0
+    # extracts e alone. This checks (a) the compiled-mode keep rate
+    # (round-3 bug: signed prng bits halved it) and (b) that the flash
+    # backward's recomputed masks match the forward's, via analytic f64
+    # grads from the extracted W/e — no finite-difference noise (the old
+    # FD check false-failed at 12% from bf16 matmul rounding).
     try:
         seed = jnp.asarray(7, jnp.int32)
         rate = 0.3
 
-        @jax.jit
-        def loss_d(q):
-            out = ra.rpe_cross_attention_flash(
-                q, k, v, corners, angles, key_xyz, tables, mask, seed,
-                512.0, 4.0, False, rate)
-            return (out * out).sum()
+        def fwd(vv, r):
+            return ra.rpe_cross_attention_flash(
+                q, k, vv, corners, angles, key_xyz, tables, mask, seed,
+                512.0, 4.0, False, r)
 
-        g = jax.jit(jax.grad(loss_d))(q)
-        u = jnp.asarray(rng.randn(*q.shape).astype(np.float32))
-        eps = 1e-2
-        fd = (loss_d(q + eps * u) - loss_d(q - eps * u)) / (2 * eps)
-        an = jnp.vdot(g, u)
-        rel = float(abs(float(an) - float(fd)) / max(1e-3, abs(float(fd))))
-        results["rpe_dropout_selfconsistent"] = bool(rel < 5e-2)
-        results["rpe_dropout_relerr"] = round(rel, 5)
+        fwd_j = jax.jit(fwd, static_argnums=1)
+
+        def extract(r):
+            cols = []
+            for off in range(0, nK, hd):
+                vv = np.zeros((B, nK, hd), np.float32)
+                for d in range(hd):
+                    vv[:, off + d, d] = 1.0
+                cols.append(np.asarray(fwd_j(jnp.asarray(vv), r)))
+            return np.concatenate(cols, axis=-1).astype(np.float64)
+
+        W = extract(rate)                     # (B, nQ, H, nK) = g*e
+        E = extract(0.0)                      # e
+        gm = np.where(E > 1e-12, W / np.maximum(E, 1e-12), 0.0)
+        valid = E > 1e-6
+        keep = 1.0 / (1.0 - rate)
+        gv = gm[valid]
+        frac_binary = float((np.minimum(np.abs(gv), np.abs(gv - keep))
+                             < 0.05 * keep).mean())
+        frac_drop = float((np.abs(gv) < 0.05 * keep).mean())
+
+        def loss_d(qq, kk, vv):
+            o = ra.rpe_cross_attention_flash(
+                qq, kk, vv, corners, angles, key_xyz, tables, mask, seed,
+                512.0, 4.0, False, rate)
+            return (o * o).sum()
+
+        gq, gk, gvv = jax.jit(jax.grad(loss_d, argnums=(0, 1, 2)))(q, k, v)
+        v64 = np.asarray(v, np.float64)
+        out = np.einsum("bqhj,bjd->bqhd", W, v64)
+        dO = 2.0 * out
+        dv_ref = np.einsum("bqhj,bqhd->bjd", W, dO)
+        dd = np.sum(dO * out, axis=-1, keepdims=True)
+        dp = np.einsum("bqhd,bjd->bqhj", dO, v64)
+        ds = E * (gm * dp - dd)
+        dq_ref = np.einsum("bqhj,bjd->bqhd", ds, np.asarray(k, np.float64))
+        dk_ref = np.einsum("bqhj,bqhd->bjd", ds, np.asarray(q, np.float64))
+        errs = {}
+        ok = frac_binary > 0.999 and abs(frac_drop - rate) < 0.02
+        for name, a, b in (("dq", gq, dq_ref), ("dk", gk, dk_ref),
+                           ("dv", gvv, dv_ref)):
+            a = np.asarray(a, np.float64)
+            e = float(np.abs(a - b).max() / max(1e-6, np.abs(b).max()))
+            errs[name] = round(e, 5)
+            ok = ok and e < 2e-2
+        results["rpe_dropout_selfconsistent"] = bool(ok)
+        results["rpe_dropout_detail"] = {
+            "frac_binary": round(frac_binary, 4),
+            "frac_drop": round(frac_drop, 4), **errs}
     except Exception as e:  # noqa: BLE001
         results["rpe_dropout_selfconsistent"] = (
             f"ERROR: {str(e).splitlines()[0][:120]}")

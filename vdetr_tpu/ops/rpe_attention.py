@@ -140,8 +140,14 @@ def _dropout_scale(seed_ref, tile_id, shape, rate):
     here to unnormalized weights, identical because the softmax
     denominator never sees dropout)."""
     pltpu.prng_seed(seed_ref[0] + tile_id)
-    bits = pltpu.prng_random_bits(shape)               # uint32
-    u = (bits >> jnp.uint32(8)).astype(jnp.float32) * (1.0 / (1 << 24))
+    bits = pltpu.prng_random_bits(shape)
+    # prng_random_bits returns SIGNED int32 under compiled Mosaic but
+    # uint32 under interpret mode; a plain right-shift is arithmetic on
+    # the former (negative halves the keep rate — measured drop 0.80 at
+    # rate 0.3, tools/dropout_diag.py). Masking the low 23 bits is
+    # sign-agnostic and exact in f32 (23 <= mantissa).
+    bits = jax.lax.bitcast_convert_type(bits, jnp.int32)
+    u = (bits & jnp.int32(0x7FFFFF)).astype(jnp.float32) * (1.0 / (1 << 23))
     return (u >= rate).astype(jnp.float32) * (1.0 / (1.0 - rate))
 
 
