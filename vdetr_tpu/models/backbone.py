@@ -28,6 +28,16 @@ from vdetr_tpu.ops.voxelize import VoxelGrid
 _kaiming = nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal")
 
 
+def _store(f, compute_dtype):
+    """Backbone-resident storage cast. With compute_dtype=bfloat16 the
+    features BETWEEN convs live in bf16, so every sparse-conv row gather
+    moves half the bytes (the gather is the backbone bottleneck —
+    tools/gather_micro.py) and no per-conv cast pass is needed; the cast
+    fuses into the norm/activation write. Matmul accumulation and norm
+    statistics stay float32."""
+    return f if compute_dtype is None else f.astype(compute_dtype)
+
+
 class SparseConv(nn.Module):
     """Submanifold (stride-1) conv, kernel (k^3, C_in, C_out), no bias
     (MinkowskiConvolution default). compute_dtype (e.g. bfloat16) applies
@@ -132,7 +142,7 @@ class SparseBasicBlock(nn.Module):
                             axis_name=self.axis_name, name="norm1")(
             out.features, out.valid
         )
-        f = nn.relu(f)
+        f = _store(nn.relu(f), cd)
         out2 = SparseConv(self.planes, compute_dtype=cd,
                           name="conv2")(out.replace(features=f))
         f2 = MaskedBatchNorm(self.planes, use_running_average=not train,
@@ -154,8 +164,8 @@ class SparseBasicBlock(nn.Module):
             )(ds.features, ds.valid)
         else:
             skip = grid.features
-        f = nn.relu(f2 + skip)
-        f = jnp.where(out2.valid[..., None], f, 0.0)
+        f = nn.relu(f2 + skip.astype(f2.dtype))
+        f = jnp.where(out2.valid[..., None], _store(f, cd), 0.0)
         return out2.replace(features=f)
 
 
@@ -189,7 +199,8 @@ class SparseBottleneck(nn.Module):
             grid = attach_kernel_map(grid)
         out = SparseConv(self.planes, kernel_size=1, compute_dtype=cd,
                          name="conv1")(grid)
-        f = nn.relu(bn("norm1", out.features, out.valid, self.planes))
+        f = _store(nn.relu(bn("norm1", out.features, out.valid,
+                              self.planes)), cd)
         out = out.replace(features=f)
         out_grid = None
         if self.stride == 2:
@@ -202,7 +213,8 @@ class SparseBottleneck(nn.Module):
         else:
             out = SparseConv(self.planes, compute_dtype=cd,
                              name="conv2")(out)
-        f = nn.relu(bn("norm2", out.features, out.valid, self.planes))
+        f = _store(nn.relu(bn("norm2", out.features, out.valid,
+                              self.planes)), cd)
         out = SparseConv(out_ch, kernel_size=1, compute_dtype=cd,
                          name="conv3")(out.replace(features=f))
         f3 = bn("norm3", out.features, out.valid, out_ch)
@@ -218,8 +230,8 @@ class SparseBottleneck(nn.Module):
             skip = bn("downsample_norm", ds.features, ds.valid, out_ch)
         else:
             skip = grid.features
-        f = nn.relu(f3 + skip)
-        f = jnp.where(out.valid[..., None], f, 0.0)
+        f = nn.relu(f3 + skip.astype(f3.dtype))
+        f = jnp.where(out.valid[..., None], _store(f, cd), 0.0)
         return out.replace(features=f)
 
 
@@ -264,7 +276,7 @@ class SparseResNet(nn.Module):
             f = MaskedInstanceNorm(self.inplanes, name="norm1")(
                 x.features, x.valid
             )
-        x = x.replace(features=nn.relu(f))
+        x = x.replace(features=_store(nn.relu(f), self.compute_dtype))
 
         outs = []
         for i, nblocks in enumerate(stage_blocks):
@@ -312,14 +324,14 @@ class FPNUpBlock(nn.Module):
                             axis_name=self.axis_name, name="up_norm")(
             up.features, up.valid
         )
-        up = up.replace(features=nn.elu(f))
+        up = up.replace(features=_store(nn.elu(f), self.compute_dtype))
         out = SparseConv(self.out_channels, compute_dtype=self.compute_dtype,
                          name="conv")(up)
         f = MaskedBatchNorm(self.out_channels, use_running_average=not train,
                             axis_name=self.axis_name, name="norm")(
             out.features, out.valid
         )
-        return out.replace(features=nn.elu(f))
+        return out.replace(features=_store(nn.elu(f), self.compute_dtype))
 
 
 class FPNOutBlock(nn.Module):

@@ -40,6 +40,10 @@ class MaskedBatchNorm(nn.Module):
             "batch_stats", "var", lambda: jnp.ones((self.features,))
         )
 
+        # stats and normalization always in float32: inputs may be stored
+        # bfloat16 (backbone-resident low precision for the sparse-conv
+        # gathers) and bf16 accumulation over 65k voxels loses ~3 digits
+        x = x.astype(jnp.float32)
         if use_ra:
             mean, var = ra_mean.value, ra_var.value
         else:
@@ -78,6 +82,7 @@ class MaskedInstanceNorm(nn.Module):
     def __call__(self, x, mask):
         scale = self.param("scale", nn.initializers.ones, (self.features,))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        x = x.astype(jnp.float32)  # see MaskedBatchNorm: f32 stats
         m = mask.astype(x.dtype)[..., None]
         cnt = jnp.maximum(m.sum(axis=1, keepdims=True), 1.0)
         mean = (x * m).sum(axis=1, keepdims=True) / cnt

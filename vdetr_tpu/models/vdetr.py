@@ -112,8 +112,12 @@ class VDETR(nn.Module):
                     compute_dtype=cdtype,
                     name=f"up_block_{i + 1}",
                 )(x, stages[i], train)
+                fsum = (stages[i].features.astype(jnp.float32)
+                        + up.features.astype(jnp.float32))
+                # skip-add in f32, re-stored at the backbone dtype (bf16
+                # residency halves the next conv's gather bytes)
                 x = stages[i].replace(
-                    features=stages[i].features + up.features
+                    features=fsum if cdtype is None else fsum.astype(cdtype)
                 )
             elif not c.use_fpn:
                 x = stages[i]
