@@ -1,0 +1,129 @@
+"""Windowed one-hot Mosaic sparse-conv kernel (ops/sparse_conv_kernel.py)
+vs the XLA gather path, in interpret mode on CPU.
+
+Covers: forward parity, the flipped-map dFeats identity, the dW kernel,
+gradients through the integrated `sparse_conv` dispatch, and the
+overflow fallback (an adversarial layout must still be exact).
+Reference semantics: MinkowskiEngine submanifold convolution
+(reference models/mink_resnet.py via third-party ME).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vdetr_tpu.ops import sparse_conv as sc
+from vdetr_tpu.ops.sparse_conv_kernel import (
+    build_window_map,
+    flip_weights,
+    window_conv,
+    window_conv_ad,
+)
+from vdetr_tpu.ops.voxelize import voxelize
+
+
+def _grid(rng, V=512, clustered=True, B=1):
+    if clustered:
+        npatch = 8
+        centers = rng.rand(npatch, 3) * np.array([2.0, 2.0, 1.0])
+        pts = []
+        per = V // npatch + 1
+        for c in centers:
+            u = rng.randn(per, 3).astype(np.float32)
+            u[:, 2] *= 0.08
+            pts.append(c + u * 0.3)
+        pts = np.concatenate(pts)[:V]
+    else:
+        # adversarial: uniform sparse points -> huge rank jumps between
+        # consecutive sites -> window overflow
+        pts = rng.rand(V, 3).astype(np.float32) * 30.0
+    pts = np.stack([pts] * B)
+    return voxelize(jnp.asarray(pts), jnp.asarray(pts),
+                    jnp.ones((B, V), bool), voxel_size=0.05, capacity=V)
+
+
+def test_window_conv_forward_parity():
+    rng = np.random.RandomState(0)
+    grid = _grid(rng, V=512, B=2)
+    C, Co = 64, 64
+    feats = jnp.asarray(rng.randn(2, 512, C).astype(np.float32))
+    grid = grid.replace(features=feats * grid.valid[..., None])
+    w = jnp.asarray(rng.randn(27, C, Co).astype(np.float32) * 0.1)
+    plain = sc.sparse_conv(sc.attach_kernel_map(grid), w).features
+    g_win = sc.attach_kernel_map(grid, window_interpret=True)
+    assert g_win.win_le is not None
+    assert not bool(np.asarray(g_win.win_ovf).any())
+    got = sc.sparse_conv(g_win, w).features
+    r, g = np.asarray(plain), np.asarray(got)
+    assert np.abs(r - g).max() / np.abs(r).max() < 2e-2
+
+
+def test_window_conv_grads_match_xla():
+    rng = np.random.RandomState(1)
+    grid = _grid(rng, V=256)
+    C, Co = 64, 128
+    feats = jnp.asarray(rng.randn(1, 256, C).astype(np.float32))
+    grid = grid.replace(features=feats * grid.valid[..., None])
+    w = jnp.asarray(rng.randn(27, C, Co).astype(np.float32) * 0.1)
+    g_plain = sc.attach_kernel_map(grid)
+    g_win = sc.attach_kernel_map(grid, window_interpret=True)
+
+    def loss(base, w_, f_):
+        out = sc.sparse_conv(base.replace(features=f_), w_).features
+        return (out * jnp.cos(out)).sum()
+
+    ref = jax.grad(loss, argnums=(1, 2))(g_plain, w, g_plain.features)
+    got = jax.grad(loss, argnums=(1, 2))(g_win, w, g_win.features)
+    for a, b in zip(ref, got):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.abs(a - b).max() / max(1e-6, np.abs(a).max()) < 2e-2
+
+
+def test_flipped_map_identity():
+    """dFeats of a submanifold conv == same window conv with reversed,
+    transposed weights (offsets[26-k] == -offsets[k])."""
+    offs = sc._offsets(3)
+    for k in range(27):
+        assert tuple(-o for o in offs[k]) == offs[26 - k]
+
+
+def test_overflow_falls_back_exactly():
+    rng = np.random.RandomState(2)
+    grid = _grid(rng, V=512, clustered=False)
+    C = 64
+    feats = jnp.asarray(rng.randn(1, 512, C).astype(np.float32))
+    grid = grid.replace(features=feats * grid.valid[..., None])
+    w = jnp.asarray(rng.randn(27, C, C).astype(np.float32) * 0.1)
+    g_win = sc.attach_kernel_map(grid, window_interpret=True)
+    plain = sc.sparse_conv(sc.attach_kernel_map(grid), w).features
+    got = sc.sparse_conv(g_win, w).features
+    if bool(np.asarray(g_win.win_ovf).any()):
+        # fallback branch: results must be bit-identical to the XLA path
+        np.testing.assert_array_equal(np.asarray(plain), np.asarray(got))
+    else:
+        r, g = np.asarray(plain), np.asarray(got)
+        assert np.abs(r - g).max() / np.abs(r).max() < 2e-2
+
+
+def test_miss_rows_contribute_zero():
+    """All-miss sites (isolated voxels far apart) produce the center-tap
+    result only."""
+    rng = np.random.RandomState(3)
+    V, C = 256, 64
+    # isolated voxels: no neighbors except self
+    pts = (np.arange(V)[:, None] * np.array([1.0, 0.7, 0.3]))[None]
+    grid = voxelize(jnp.asarray(pts, jnp.float32),
+                    jnp.asarray(pts, jnp.float32),
+                    jnp.ones((1, V), bool), voxel_size=0.05, capacity=V)
+    feats = jnp.asarray(rng.randn(1, V, C).astype(np.float32))
+    grid = grid.replace(features=feats * grid.valid[..., None])
+    w = jnp.asarray(rng.randn(27, C, C).astype(np.float32) * 0.1)
+    g_win = sc.attach_kernel_map(grid, window_interpret=True)
+    if bool(np.asarray(g_win.win_ovf).any()):
+        pytest.skip("isolated layout overflowed; covered by fallback test")
+    got = sc.sparse_conv(g_win, w).features
+    center = grid.features @ w[13]  # offset (0,0,0) is index 13
+    center = center * grid.valid[..., None]
+    r, g = np.asarray(center), np.asarray(got)
+    assert np.abs(r - g).max() / max(1e-6, np.abs(r).max()) < 2e-2

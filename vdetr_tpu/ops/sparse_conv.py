@@ -28,6 +28,15 @@ from vdetr_tpu.ops.voxelize import (
     pack_keys,
     upsample_candidates,
 )
+from vdetr_tpu.ops import sparse_conv_kernel as _wck
+
+# window-kernel geometry (ops/sparse_conv_kernel.py): output tile rows
+# and window block rows. 2*WINDOW_WB rows must cover the neighbor-rank
+# span of any TILE consecutive sorted sites; overflows fall back to the
+# exact XLA gather path via lax.cond.
+WINDOW_TILE = 256
+WINDOW_WB = 256
+_WINDOW_CHANNELS = (64, 128, 256)
 
 
 def _offsets(kernel_size: int) -> Tuple[Tuple[int, int, int], ...]:
@@ -135,12 +144,31 @@ def kernel_map(grid: VoxelGrid, kernel_size: int = 3) -> jnp.ndarray:
     return jax.vmap(one)(grid.coords, grid.keys, grid.valid)
 
 
-def attach_kernel_map(grid: VoxelGrid, kernel_size: int = 3) -> VoxelGrid:
+def _window_eligible(kernel_size: int, interpret: bool) -> bool:
+    import jax as _jax
+
+    return kernel_size == 3 and (
+        interpret or _jax.default_backend() in ("tpu", "axon")
+    )
+
+
+def attach_kernel_map(grid: VoxelGrid, kernel_size: int = 3,
+                      window_interpret: bool = False) -> VoxelGrid:
     """Compute and cache the submanifold kernel map on the grid: every
     stride-1 conv over the same site set then skips its lookup entirely
     (MinkowskiEngine's coordinate-manager kernel-map cache, done the
-    XLA way)."""
-    return grid.replace(nbr_idx=kernel_map(grid, kernel_size))
+    XLA way). On TPU additionally derives the window-kernel arrays so
+    stride-1 convs can run the Mosaic one-hot window kernel."""
+    nbr = kernel_map(grid, kernel_size)
+    out = grid.replace(nbr_idx=nbr)
+    V = grid.keys.shape[1]
+    if (_window_eligible(kernel_size, window_interpret)
+            and V % WINDOW_TILE == 0):
+        blk, le, ovf = jax.vmap(
+            lambda n: _wck.build_window_map(n, V, WINDOW_TILE, WINDOW_WB)
+        )(nbr)
+        out = out.replace(win_blk=blk, win_le=le, win_ovf=ovf)
+    return out
 
 
 def sparse_conv(grid: VoxelGrid, weights, kernel_size: int = 3,
@@ -169,7 +197,23 @@ def sparse_conv(grid: VoxelGrid, weights, kernel_size: int = 3,
             lambda f, i: _gather_matmul(f, i, weights, compute_dtype)
         )(feats, nbr)
 
-    out = run(grid.features, nbr, weights)
+    C_in, C_out = weights.shape[1], weights.shape[2]
+    if (grid.win_le is not None and kernel_size == 3
+            and C_in in _WINDOW_CHANNELS and C_out in _WINDOW_CHANNELS):
+        interp = jax.default_backend() not in ("tpu", "axon")
+
+        def kernel_path(feats):
+            return _wck.window_conv_ad(
+                feats, grid.win_blk, grid.win_le, weights,
+                WINDOW_TILE, WINDOW_WB, interp)
+
+        def xla_path(feats):
+            return run(feats, nbr, weights)
+
+        out = jax.lax.cond(grid.win_ovf.any(), xla_path, kernel_path,
+                           grid.features)
+    else:
+        out = run(grid.features, nbr, weights)
     out = out * grid.valid[..., None]
     return grid.replace(features=out)
 

@@ -1,0 +1,283 @@
+"""Windowed one-hot Mosaic kernel for submanifold sparse convolution.
+
+Replaces the XLA row-gather inner loop of `sparse_conv` (reference
+semantics: MinkowskiEngine submanifold convolution, models/mink_resnet.py)
+for the hot stride-1 3x3x3 convs. The XLA gather moves 27 * V rows of
+C*4 bytes at ~50-85 GB/s effective (tools/stage_conv_micro.py); this
+kernel exploits the z-fastest sorted-key structure instead:
+
+- For a fixed (dx, dy) offset group the three dz neighbor ranks of a
+  sorted output tile are near-contiguous and MONOTONE, so the whole
+  tile's neighbors live in a small contiguous window of input rows.
+  Per (tile, group) the kernel DMAs two Wb-row window blocks
+  (contiguous HBM streams at full bandwidth, scalar-prefetched block
+  index) instead of per-row gathers.
+- Row selection inside the window is a ONE-HOT MATMUL: S_e[v, l] =
+  (l == window-local index of v's dz=e neighbor), built by an iota
+  compare against a precomputed index (misses encode as -1 and never
+  match), then X_e = S_e @ window runs on the MXU. This is the same
+  gather-free trick the fused RPE kernel uses for trilinear sampling.
+- Weight contraction accumulates float32; one-hot and window matmuls
+  run at the TPU-default bf16-input matmul precision (which is also
+  what the XLA path uses — see ROUND3_NOTES.md finding 1).
+
+Exactness: window coverage can overflow when a tile's neighbor ranks
+span more than 2*Wb rows (pathological layouts). The map builder
+returns an `overflow` flag; `sparse_conv` falls back to the XLA gather
+path via lax.cond, so results are ALWAYS exact.
+
+Backward: for submanifold convs (input sites == output sites) the
+dFeats pass is the SAME kernel with flipped offsets and transposed
+kernels — offsets[k'] = -offsets[k] means k' = 26 - k in the
+x-major/z-fastest enumeration — so dFeats = window_conv(dOut,
+W[::-1].transpose(0, 2, 1)). dW accumulates per-tile X^T dOut in a
+VMEM scratch and writes on the last tile.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_GROUPS = 9
+_W = 3  # dz window width (kernel_size 3)
+
+
+def build_window_map(nbr_idx, v_in: int, tile: int, wb: int):
+    """Precompute the kernel's index arrays from a (K=27, V) neighbor map.
+
+    nbr_idx: (27, V) int32 global input-row indices, v_in = miss (the
+    zero-pad row of the XLA path). Offsets are x-major/z-fastest, so
+    offset k belongs to (dx, dy) group k // 3.
+
+    Returns (blk, le, overflow):
+      blk: (nt, 9) int32 — window block index per (tile, group), units
+           of wb rows; the kernel DMAs input rows [blk*wb, blk*wb+2*wb).
+      le:  (9, 3, V) int32 — window-local row index of each neighbor,
+           -1 for misses and overflow rows.
+      overflow: () bool — any valid neighbor fell outside its window
+           (caller must use the exact XLA path).
+    """
+    V = nbr_idx.shape[1]
+    nt = V // tile
+    idx = nbr_idx.reshape(_GROUPS, _W, V)
+    hit = idx < v_in
+    big = jnp.where(hit, idx, jnp.iinfo(jnp.int32).max)
+    base = big.min(axis=1)  # (9, V) first hit rank; INT_MAX if none
+    bt = base.reshape(_GROUPS, nt, tile).min(axis=2)  # (9, nt)
+    max_blk = v_in // wb  # feats are padded by 2*wb rows; blk+1 stays valid
+    blk = jnp.where(bt == jnp.iinfo(jnp.int32).max, 0, bt // wb)
+    blk = jnp.clip(blk, 0, max_blk).astype(jnp.int32)
+    blk_rows = jnp.repeat(blk * wb, tile, axis=1)  # (9, V)
+    le = idx - blk_rows[:, None, :]
+    overflow = (hit & (le > 2 * wb - 1)).any()
+    le = jnp.where(hit & (le <= 2 * wb - 1), le, -1).astype(jnp.int32)
+    return jnp.transpose(blk, (1, 0)), le, overflow
+
+
+def _conv_kernel(blk_ref, le_ref, w_ref, *refs):
+    """Grid (B, nt). refs = 18 window refs then out_ref.
+
+    le_ref block: (1, 9, 3, T); w_ref: (27, C, Co) bf16 full;
+    window refs: (1, Wb, C); out: (1, T, Co) f32.
+    """
+    wins = refs[: 2 * _GROUPS]
+    out_ref = refs[2 * _GROUPS]
+    T = le_ref.shape[3]
+    C = wins[0].shape[2]
+    Co = w_ref.shape[2]
+    wb = wins[0].shape[1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (T, 2 * wb), 1)
+    acc = jnp.zeros((T, Co), jnp.float32)
+    for g in range(_GROUPS):
+        win = jnp.concatenate(
+            [wins[2 * g][0], wins[2 * g + 1][0]], axis=0
+        ).astype(jnp.bfloat16)  # (2Wb, C)
+        for e in range(_W):
+            le = le_ref[0, g, e, :]  # (T,)
+            s = (iota == le[:, None]).astype(jnp.bfloat16)
+            x = jax.lax.dot_general(
+                s, win, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.bfloat16)  # (T, C)
+            acc = acc + jax.lax.dot_general(
+                x, w_ref[g * _W + e], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    out_ref[0] = acc
+
+
+def _win_index_map(g, off):
+    def index_map(bi, t, blk_s):
+        return (bi, blk_s[bi, t, g] + off, 0)
+    return index_map
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("tile", "wb", "interpret"))
+def window_conv(feats, blk, le, weights, tile: int = 256, wb: int = 256,
+                interpret: bool = False):
+    """feats: (B, V_in, C); blk: (B, nt, 9); le: (B, 9, 3, V);
+    weights: (27, C, Co). Returns (B, V, Co) float32.
+
+    V (output rows) = le.shape[-1]; misses contribute zero (le == -1
+    never matches the window iota). feats rows beyond V_in are read only
+    as window padding and multiplied by zero.
+    """
+    B, v_in, C = feats.shape
+    V = le.shape[-1]
+    nt = V // tile
+    Co = weights.shape[-1]
+    # pad so every window block [blk*wb, blk*wb + 2*wb) is in range
+    feats_p = jnp.concatenate(
+        [feats, jnp.zeros((B, 2 * wb, C), feats.dtype)], axis=1
+    )
+    wflat = weights.astype(jnp.bfloat16)
+
+    win_specs = [
+        pl.BlockSpec((1, wb, C), _win_index_map(g, b_off))
+        for g in range(_GROUPS)
+        for b_off in range(2)
+    ]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, nt),
+        in_specs=[
+            pl.BlockSpec((1, _GROUPS, _W, tile),
+                         lambda bi, t, blk_s: (bi, 0, 0, t)),
+            pl.BlockSpec((27, C, Co), lambda bi, t, blk_s: (0, 0, 0)),
+            *win_specs,
+        ],
+        out_specs=pl.BlockSpec((1, tile, Co),
+                               lambda bi, t, blk_s: (bi, t, 0)),
+    )
+    return pl.pallas_call(
+        _conv_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, V, Co), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(blk, le, wflat, *([feats_p] * (2 * _GROUPS)))
+
+
+def flip_weights(weights):
+    """Weights of the transpose (gradient) submanifold conv: offset k
+    maps to -offset = index 26-k; in/out channels swap."""
+    return weights[::-1].transpose(0, 2, 1)
+
+
+def _dw_kernel(blk_ref, le_ref, dout_ref, *refs):
+    """Grid (B, nt). refs = 18 window refs then dw_ref (27, C, Co) f32.
+
+    Recomputes the gathered X_e per tile (same one-hot windows as the
+    forward) and accumulates dW[k] += X_e^T @ dOut across all tiles and
+    batch rows; dw_ref is revisited at every grid step (constant index
+    map) so the accumulator lives in VMEM for the whole pass.
+    """
+    wins = refs[: 2 * _GROUPS]
+    dw_ref = refs[2 * _GROUPS]
+    T = le_ref.shape[3]
+    wb = wins[0].shape[1]
+    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _init():
+        dw_ref[...] = jnp.zeros(dw_ref.shape, dw_ref.dtype)
+
+    iota = jax.lax.broadcasted_iota(jnp.int32, (T, 2 * wb), 1)
+    dout = dout_ref[0].astype(jnp.bfloat16)  # (T, Co)
+    for g in range(_GROUPS):
+        win = jnp.concatenate(
+            [wins[2 * g][0], wins[2 * g + 1][0]], axis=0
+        ).astype(jnp.bfloat16)
+        for e in range(_W):
+            le = le_ref[0, g, e, :]
+            s = (iota == le[:, None]).astype(jnp.bfloat16)
+            x = jax.lax.dot_general(
+                s, win, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.bfloat16)  # (T, C)
+            dw_ref[g * _W + e] += jax.lax.dot_general(
+                x, dout, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("tile", "wb", "interpret"))
+def window_conv_dw(feats, blk, le, dout, tile: int = 256, wb: int = 256,
+                   interpret: bool = False):
+    """Weight gradient of window_conv: (27, C, Co) float32.
+
+    feats: (B, V_in, C); dout: (B, V, Co) (pre-masked by the caller's
+    validity VJP); blk/le as in window_conv.
+    """
+    B, v_in, C = feats.shape
+    V = le.shape[-1]
+    nt = V // tile
+    Co = dout.shape[-1]
+    feats_p = jnp.concatenate(
+        [feats, jnp.zeros((B, 2 * wb, C), feats.dtype)], axis=1
+    )
+    win_specs = [
+        pl.BlockSpec((1, wb, C), _win_index_map(g, b_off))
+        for g in range(_GROUPS)
+        for b_off in range(2)
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, nt),
+        in_specs=[
+            pl.BlockSpec((1, _GROUPS, _W, tile),
+                         lambda bi, t, blk_s: (bi, 0, 0, t)),
+            pl.BlockSpec((1, tile, Co), lambda bi, t, blk_s: (bi, t, 0)),
+            *win_specs,
+        ],
+        out_specs=pl.BlockSpec((27, C, Co),
+                               lambda bi, t, blk_s: (0, 0, 0)),
+    )
+    return pl.pallas_call(
+        _dw_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((27, C, Co), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(blk, le, dout, *([feats_p] * (2 * _GROUPS)))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def window_conv_ad(feats, blk, le, weights, tile=256, wb=256,
+                   interpret=False):
+    """Differentiable window_conv for SUBMANIFOLD convs (input sites ==
+    output sites — required by the flipped-map dFeats identity)."""
+    return window_conv(feats, blk, le, weights, tile=tile, wb=wb,
+                       interpret=interpret)
+
+
+def _wc_fwd(feats, blk, le, weights, tile, wb, interpret):
+    out = window_conv(feats, blk, le, weights, tile=tile, wb=wb,
+                      interpret=interpret)
+    return out, (feats, blk, le, weights)
+
+
+def _wc_bwd(tile, wb, interpret, res, dout):
+    feats, blk, le, weights = res
+    dout = dout.astype(jnp.float32)
+    dfeats = window_conv(dout, blk, le, flip_weights(weights),
+                         tile=tile, wb=wb, interpret=interpret)
+    dfeats = dfeats.astype(feats.dtype)
+    dw = window_conv_dw(feats, blk, le, dout, tile=tile, wb=wb,
+                        interpret=interpret).astype(weights.dtype)
+    return dfeats, None, None, dw
+
+
+window_conv_ad.defvjp(_wc_fwd, _wc_bwd)

@@ -58,6 +58,12 @@ class VoxelGrid:
     # map cache); attach_kernel_map fills it, every stride-1 conv on the
     # same sites reuses it
     nbr_idx: jnp.ndarray = None
+    # cached window-kernel arrays derived from nbr_idx (see
+    # ops/sparse_conv_kernel.build_window_map): blk (B, nt, 9),
+    # le (B, 9, 3, V), ovf (B,) — attach_kernel_map fills them on TPU
+    win_blk: jnp.ndarray = None
+    win_le: jnp.ndarray = None
+    win_ovf: jnp.ndarray = None
 
     @property
     def capacity(self) -> int:
