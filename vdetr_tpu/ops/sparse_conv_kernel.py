@@ -126,15 +126,17 @@ def window_conv(feats, blk, le, weights, tile: int = 256, wb: int = 256,
 
     V (output rows) = le.shape[-1]; misses contribute zero (le == -1
     never matches the window iota). feats rows beyond V_in are read only
-    as window padding and multiplied by zero.
-    """
+    as window padding and multiplied by zero. Window DMAs move bf16
+    (the in-kernel matmuls are bf16-input anyway — the cast is one
+    fused stream pass, the DMA bytes halve)."""
     B, v_in, C = feats.shape
     V = le.shape[-1]
     nt = V // tile
     Co = weights.shape[-1]
     # pad so every window block [blk*wb, blk*wb + 2*wb) is in range
     feats_p = jnp.concatenate(
-        [feats, jnp.zeros((B, 2 * wb, C), feats.dtype)], axis=1
+        [feats.astype(jnp.bfloat16),
+         jnp.zeros((B, 2 * wb, C), jnp.bfloat16)], axis=1
     )
     wflat = weights.astype(jnp.bfloat16)
 
@@ -224,7 +226,8 @@ def window_conv_dw(feats, blk, le, dout, tile: int = 256, wb: int = 256,
     nt = V // tile
     Co = dout.shape[-1]
     feats_p = jnp.concatenate(
-        [feats, jnp.zeros((B, 2 * wb, C), feats.dtype)], axis=1
+        [feats.astype(jnp.bfloat16),
+         jnp.zeros((B, 2 * wb, C), jnp.bfloat16)], axis=1
     )
     win_specs = [
         pl.BlockSpec((1, wb, C), _win_index_map(g, b_off))
