@@ -9,7 +9,7 @@ Prints ONE JSON line:
 Primary metric: eval-forward throughput. detail carries the sub-benches:
   train_step_ms / train_scenes_per_sec  — full train step (fwd + criterion
       + auction matcher + backward + AdamW) at the published architecture
-  bf16_eval_ms — eval forward with compute_dtype=bfloat16
+  kernel_smoke — compiled-Mosaic kernel parity gate (tools/tpu_smoke.py)
 Sub-benches degrade gracefully: a failing section reports its error
 string instead of killing the primary metric.
 

@@ -62,8 +62,8 @@ def main():
         nbr = kernel_map(grid, 3)
         fence(nbr)
 
-        for tile, wb in ((256, 256), (512, 512), (1024, 1024),
-                         (256, 512), (512, 1024)):
+        for tile, wb in ((256, 128), (256, 256), (512, 256),
+                         (512, 512), (128, 128)):
             if V % tile:
                 continue
             try:

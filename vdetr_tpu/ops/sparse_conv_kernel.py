@@ -91,21 +91,27 @@ def _conv_kernel(blk_ref, le_ref, w_ref, *refs):
     C = wins[0].shape[2]
     Co = w_ref.shape[2]
     wb = wins[0].shape[1]
+    # one (3T, 2Wb) one-hot matmul per group instead of three (T, 2Wb):
+    # the MXU runs M=3T at ~3x the utilization of three M=T matmuls.
+    # (A direct (3,T)->(3T,1) reshape of the le block is an unsupported
+    # Mosaic shape cast; build per-e masks and concat on sublanes.)
     iota = jax.lax.broadcasted_iota(jnp.int32, (T, 2 * wb), 1)
     acc = jnp.zeros((T, Co), jnp.float32)
     for g in range(_GROUPS):
         win = jnp.concatenate(
             [wins[2 * g][0], wins[2 * g + 1][0]], axis=0
         ).astype(jnp.bfloat16)  # (2Wb, C)
+        s = jnp.concatenate(
+            [(iota == le_ref[0, g, e, :][:, None]).astype(jnp.bfloat16)
+             for e in range(_W)], axis=0)  # (3T, 2Wb)
+        x = jax.lax.dot_general(
+            s, win, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.bfloat16)  # (3T, C)
         for e in range(_W):
-            le = le_ref[0, g, e, :]  # (T,)
-            s = (iota == le[:, None]).astype(jnp.bfloat16)
-            x = jax.lax.dot_general(
-                s, win, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).astype(jnp.bfloat16)  # (T, C)
             acc = acc + jax.lax.dot_general(
-                x, w_ref[g * _W + e], (((1,), (0,)), ((), ())),
+                x[e * T:(e + 1) * T], w_ref[g * _W + e],
+                (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
     out_ref[0] = acc
@@ -199,15 +205,16 @@ def _dw_kernel(blk_ref, le_ref, dout_ref, *refs):
         win = jnp.concatenate(
             [wins[2 * g][0], wins[2 * g + 1][0]], axis=0
         ).astype(jnp.bfloat16)
+        s = jnp.concatenate(
+            [(iota == le_ref[0, g, e, :][:, None]).astype(jnp.bfloat16)
+             for e in range(_W)], axis=0)  # (3T, 2Wb)
+        x = jax.lax.dot_general(
+            s, win, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.bfloat16)  # (3T, C)
         for e in range(_W):
-            le = le_ref[0, g, e, :]
-            s = (iota == le[:, None]).astype(jnp.bfloat16)
-            x = jax.lax.dot_general(
-                s, win, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).astype(jnp.bfloat16)  # (T, C)
             dw_ref[g * _W + e] += jax.lax.dot_general(
-                x, dout, (((0,), (0,)), ((), ())),
+                x[e * T:(e + 1) * T], dout, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
 
