@@ -106,6 +106,51 @@ def test_overflow_falls_back_exactly():
         assert np.abs(r - g).max() / np.abs(r).max() < 2e-2
 
 
+def test_fwdk_stride2_path():
+    """window_conv_fwdk (kernel forward, XLA backward) on a stride-2
+    neighbor map: output sites != input sites."""
+    from vdetr_tpu.ops.sparse_conv import (_gather_matmul,
+                                           sparse_conv_down)
+    from vdetr_tpu.ops.sparse_conv_kernel import window_conv_fwdk
+    from vdetr_tpu.ops.voxelize import downsample_grid
+    from vdetr_tpu.ops.sparse_conv import _zrun_neighbors
+
+    rng = np.random.RandomState(4)
+    grid = _grid(rng, V=512)
+    C, Co = 64, 128
+    feats = jnp.asarray(rng.randn(1, 512, C).astype(np.float32))
+    grid = grid.replace(features=feats * grid.valid[..., None])
+    w = jnp.asarray(rng.randn(27, C, Co).astype(np.float32) * 0.1)
+    out_grid = downsample_grid(grid, 256)
+    nbr = jax.vmap(
+        lambda oc, ov, ik: _zrun_neighbors(ik, oc * 2, ov, grid.extent, 1)
+    )(out_grid.coords, out_grid.valid, grid.keys)
+    ref = jax.vmap(lambda f, i: _gather_matmul(f, i, w))(
+        grid.features, nbr)
+    blk, le, ovf = jax.vmap(
+        lambda n: build_window_map(n, 512, 256, 256))(nbr)
+    if bool(np.asarray(ovf).any()):
+        pytest.skip("stride-2 layout overflowed on this seed")
+
+    def loss(f, w_):
+        out = window_conv_fwdk(f, blk, le, nbr, w_, 256, 256, True)
+        return (out * out).sum(), out
+
+    (l, out), grads = jax.value_and_grad(loss, argnums=(0, 1),
+                                         has_aux=True)(grid.features, w)
+    r, g = np.asarray(ref), np.asarray(out)
+    assert np.abs(r - g).max() / np.abs(r).max() < 2e-2
+
+    def loss_ref(f, w_):
+        return (jax.vmap(lambda ff, i: _gather_matmul(ff, i, w_))(
+            f, nbr) ** 2).sum()
+
+    gref = jax.grad(loss_ref, argnums=(0, 1))(grid.features, w)
+    for a, b in zip(grads, gref):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.abs(a - b).max() / max(1e-6, np.abs(b).max()) < 2e-2
+
+
 def test_miss_rows_contribute_zero():
     """All-miss sites (isolated voxels far apart) produce the center-tap
     result only."""

@@ -31,12 +31,21 @@ from vdetr_tpu.ops.voxelize import (
 from vdetr_tpu.ops import sparse_conv_kernel as _wck
 
 # window-kernel geometry (ops/sparse_conv_kernel.py): output tile rows
-# and window block rows. 2*WINDOW_WB rows must cover the neighbor-rank
-# span of any TILE consecutive sorted sites; overflows fall back to the
-# exact XLA gather path via lax.cond.
-WINDOW_TILE = 256
-WINDOW_WB = 256
+# and window block rows. 2*wb rows must cover the neighbor-rank span of
+# any `tile` consecutive sorted sites; overflows fall back to the exact
+# XLA gather path via lax.cond. Values from tools/window_sweep.py on
+# v5e (clustered surface scenes): mid capacities want the wider window
+# (denser tiles span more input rows), the extremes are fine at 256.
 _WINDOW_CHANNELS = (64, 128, 256)
+
+
+def window_geometry(V: int):
+    """(tile, wb) for a level of capacity V; None if ineligible."""
+    if V % 256:
+        return None
+    if 16384 <= V <= 32768:
+        return (512, 512) if V % 512 == 0 else (256, 256)
+    return (256, 256)
 
 
 def _offsets(kernel_size: int) -> Tuple[Tuple[int, int, int], ...]:
@@ -162,12 +171,14 @@ def attach_kernel_map(grid: VoxelGrid, kernel_size: int = 3,
     nbr = kernel_map(grid, kernel_size)
     out = grid.replace(nbr_idx=nbr)
     V = grid.keys.shape[1]
-    if (_window_eligible(kernel_size, window_interpret)
-            and V % WINDOW_TILE == 0):
+    geom = window_geometry(V)
+    if _window_eligible(kernel_size, window_interpret) and geom:
+        tile, wb = geom
         blk, le, ovf = jax.vmap(
-            lambda n: _wck.build_window_map(n, V, WINDOW_TILE, WINDOW_WB)
+            lambda n: _wck.build_window_map(n, V, tile, wb)
         )(nbr)
-        out = out.replace(win_blk=blk, win_le=le, win_ovf=ovf)
+        out = out.replace(win_blk=blk, win_le=le, win_ovf=ovf,
+                          win_geom=geom)
     return out
 
 
@@ -198,14 +209,24 @@ def sparse_conv(grid: VoxelGrid, weights, kernel_size: int = 3,
         )(feats, nbr)
 
     C_in, C_out = weights.shape[1], weights.shape[2]
+    full_kernel = C_in in _WINDOW_CHANNELS and C_out in _WINDOW_CHANNELS
+    fwd_kernel = max(C_in, C_out) <= 512
     if (grid.win_le is not None and kernel_size == 3
-            and C_in in _WINDOW_CHANNELS and C_out in _WINDOW_CHANNELS):
+            and (full_kernel or fwd_kernel)):
         interp = jax.default_backend() not in ("tpu", "axon")
 
+        tile, wb = grid.win_geom
+
         def kernel_path(feats):
-            return _wck.window_conv_ad(
-                feats, grid.win_blk, grid.win_le, weights,
-                WINDOW_TILE, WINDOW_WB, interp)
+            if full_kernel:
+                return _wck.window_conv_ad(
+                    feats, grid.win_blk, grid.win_le, weights,
+                    tile, wb, interp)
+            # C=512 stage: kernel forward, XLA-gather backward (the dW
+            # kernel's f32 VMEM scratch would not fit at 27*512*512*4)
+            return _wck.window_conv_fwdk(
+                feats, grid.win_blk, grid.win_le, nbr, weights,
+                tile, wb, interp)
 
         def xla_path(feats):
             return run(feats, nbr, weights)
@@ -250,7 +271,34 @@ def sparse_conv_down(grid: VoxelGrid, weights, out_capacity: int = 0,
             lambda f, i: _gather_matmul(f, i, weights, compute_dtype)
         )(in_feats, nbr)
 
-    out = run(grid.features, nbr, weights)
+    C_in, C_out = weights.shape[1], weights.shape[2]
+    V_out = out_grid.keys.shape[1]
+    V_in = grid.keys.shape[1]
+    geom = window_geometry(V_out)
+    if (kernel_size == 3 and geom and max(C_in, C_out) <= 512
+            and C_in >= 64 and _window_eligible(3, False)):
+        # stride-2 conv via the window kernel FORWARD only: output
+        # sites != input sites, so the flipped-map dFeats identity does
+        # not apply — backward replays the XLA gather vjp
+        # (window_conv_fwdk). The (dx,dy)-group neighbor ranks of the
+        # sorted output sites are monotone exactly as in the
+        # submanifold case (queries 2*o + d are sorted).
+        tile, wb = geom
+        interp = jax.default_backend() not in ("tpu", "axon")
+        blk, le, ovf = jax.vmap(
+            lambda n: _wck.build_window_map(n, V_in, tile, wb))(nbr)
+
+        def kernel_path(feats):
+            return _wck.window_conv_fwdk(feats, blk, le, nbr, weights,
+                                         tile, wb, interp)
+
+        def xla_path(feats):
+            return run(feats, nbr, weights)
+
+        out = jax.lax.cond(ovf.any(), xla_path, kernel_path,
+                           grid.features)
+    else:
+        out = run(grid.features, nbr, weights)
     out = out * out_grid.valid[..., None]
     return out_grid.replace(features=out)
 

@@ -291,3 +291,41 @@ def _wc_bwd(tile, wb, interpret, res, dout):
 
 
 window_conv_ad.defvjp(_wc_fwd, _wc_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def window_conv_fwdk(feats, blk, le, nbr, weights, tile=256, wb=256,
+                     interpret=False):
+    """Kernel FORWARD with XLA-gather BACKWARD.
+
+    For convs where the flipped-map dFeats identity does not hold
+    (stride-2: output sites != input sites) or where the dW kernel's
+    f32 VMEM scratch would not fit (C_in * C_out > 256 * 256). The
+    backward replays the XLA gather path's vjp — eval gets the kernel,
+    training pays the same backward it does today. nbr is the (B, 27, V)
+    neighbor map the XLA path needs."""
+    return window_conv(feats, blk, le, weights, tile=tile, wb=wb,
+                       interpret=interpret)
+
+
+def _xla_gather_conv(feats, nbr, weights):
+    # local import to avoid a module cycle with sparse_conv
+    from vdetr_tpu.ops.sparse_conv import _gather_matmul
+
+    return jax.vmap(lambda f, i: _gather_matmul(f, i, weights))(feats, nbr)
+
+
+def _wcf_fwd(feats, blk, le, nbr, weights, tile, wb, interpret):
+    out = window_conv(feats, blk, le, weights, tile=tile, wb=wb,
+                      interpret=interpret)
+    return out, (feats, nbr, weights)
+
+
+def _wcf_bwd(tile, wb, interpret, res, dout):
+    feats, nbr, weights = res
+    _, vjp = jax.vjp(lambda f, w: _xla_gather_conv(f, nbr, w),
+                     feats, weights)
+    df, dw = vjp(dout.astype(jnp.float32))
+    return df.astype(feats.dtype), None, None, None, dw
+
+window_conv_fwdk.defvjp(_wcf_fwd, _wcf_bwd)

@@ -60,10 +60,13 @@ class VoxelGrid:
     nbr_idx: jnp.ndarray = None
     # cached window-kernel arrays derived from nbr_idx (see
     # ops/sparse_conv_kernel.build_window_map): blk (B, nt, 9),
-    # le (B, 9, 3, V), ovf (B,) — attach_kernel_map fills them on TPU
+    # le (B, 9, 3, V), ovf (B,) — attach_kernel_map fills them on TPU;
+    # win_geom is the static (tile, wb) the arrays were built for
     win_blk: jnp.ndarray = None
     win_le: jnp.ndarray = None
     win_ovf: jnp.ndarray = None
+    win_geom: Tuple[int, int] = flax.struct.field(
+        pytree_node=False, default=None)
 
     @property
     def capacity(self) -> int:
