@@ -112,3 +112,51 @@ def test_auction_duplicated_rows_near_optimal(rng):
     got = cost[0][np.arange(60), out].sum()
     opt = cost[0][r, c].sum()
     assert got - opt < 0.05 * abs(opt) / 10, (got, opt)
+
+
+def test_auction_capacity_matches_expanded_optimum(rng):
+    """Capacity (similar-objects) auction on the repeat-tiled layout:
+    total cost must match scipy's optimum on the EXPANDED matrix within
+    the n*eps bound, with each class holding exactly `repeat` distinct
+    columns mapped to its duplicate rows."""
+    from vdetr_tpu.ops.hungarian import auction_capacity
+
+    repeat, g, slots, m = 5, 7, 12, 64
+    base = (rng.randn(g, m) * 3).astype(np.float32)
+    n = slots * repeat
+    cost = np.full((n, m), 1e6, np.float32)
+    n_valid = g * repeat
+    # compacted tile layout: row r (< n_valid) copies class r % g
+    for d in range(repeat):
+        cost[d * g:(d + 1) * g] = base
+    out = np.asarray(auction_capacity(
+        jnp.asarray(cost[None]), jnp.asarray([n_valid]), repeat))[0]
+    assigned = out[:n_valid]
+    assert (assigned >= 0).all()
+    assert len(set(assigned.tolist())) == n_valid  # distinct columns
+    for r in range(n_valid):
+        assert out[r] >= 0
+    assert (out[n_valid:] == -1).all()
+    got = cost[np.arange(n_valid), assigned].sum()
+    exp_cost = np.tile(base, (repeat, 1))
+    rr, cc = linear_sum_assignment(exp_cost)
+    opt = exp_cost[rr, cc].sum()
+    spread = base.max() - base.min()
+    assert got <= opt + n_valid * 0.002 * spread + 1e-3
+
+
+def test_auction_capacity_class_consistency(rng):
+    """Every duplicate row's assigned column must carry the cost of its
+    own class row (row r is a copy of class r % g)."""
+    from vdetr_tpu.ops.hungarian import auction_capacity
+
+    repeat, g, m = 3, 5, 32
+    base = (rng.randn(g, m) * 2).astype(np.float32)
+    n = g * repeat
+    cost = np.concatenate([base] * repeat, axis=0)
+    out = np.asarray(auction_capacity(
+        jnp.asarray(cost[None]), jnp.asarray([n]), repeat))[0]
+    # class i's columns = rows {i, i+g, i+2g}
+    for i in range(g):
+        cols = sorted(out[i + d * g] for d in range(repeat))
+        assert len(set(cols)) == repeat

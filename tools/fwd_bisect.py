@@ -39,11 +39,22 @@ def main():
         dec_nlayers=int(os.environ.get("FB_DEC_NLAYERS", "9")),
         fps_impl=os.environ.get("FB_FPS_IMPL", "auto"),
     )
-    model = build_model(cfg, ScannetDatasetConfig())
-    rng = np.random.RandomState(0)
-    pts = rng.rand(1, cfg.num_points, 3).astype(np.float32) * np.array(
-        [6.0, 5.0, 2.8], np.float32
-    )
+    ds = ScannetDatasetConfig()
+    model = build_model(cfg, ds)
+    if os.environ.get("FB_UNIFORM"):
+        # uniform-random clutter: the adversarial layout (every window
+        # overflows, kernels fall back) — useful for fault bisection
+        rng = np.random.RandomState(0)
+        pts = rng.rand(1, cfg.num_points, 3).astype(np.float32) * np.array(
+            [6.0, 5.0, 2.8], np.float32
+        )
+    else:
+        # realistic surface-scan density (data/synthetic.py)
+        from vdetr_tpu.data.synthetic import SyntheticDetectionDataset
+
+        scene = SyntheticDetectionDataset(
+            ds, num_points=cfg.num_points, num_scenes=1)[0]
+        pts = scene["point_clouds"][None]
     inputs = {
         "point_clouds": jnp.asarray(pts),
         "point_cloud_dims_min": jnp.asarray(pts.min(1)),

@@ -65,8 +65,14 @@ class SyntheticDetectionDataset:
             angles[i] = ang
             labels[i] = cls
             present[i] = 1.0
-            # sample points on the box surface
-            npts = 400
+            # sample points on the box surface at ~cm density: real
+            # ScanNet scans are dense surfaces (~50-80k distinct 1 cm
+            # voxels per scene); the old flat 400/object produced ~6k
+            # isolated voxels — a workload no real scan exhibits
+            # (ROUND3_NOTES: bench realism)
+            area = 2 * (size[0] * size[1] + size[0] * size[2]
+                        + size[1] * size[2])
+            npts = int(np.clip(area / 2e-4, 400, 20000))
             face = rng.randint(0, 6, npts)
             u = rng.rand(npts, 3) - 0.5
             for ax in range(3):
@@ -79,13 +85,13 @@ class SyntheticDetectionDataset:
                 local = local @ R.T
             pts_parts.append(local + centers[i])
 
-        # floor + wall clutter
-        nfloor = 2000
+        # floor + wall clutter at the same ~cm surface density
+        nfloor = int(np.clip(room[0] * room[1] / 2e-4, 2000, 40000))
         floor = np.stack(
             [rng.rand(nfloor) * room[0], rng.rand(nfloor) * room[1],
              np.abs(rng.randn(nfloor)) * 0.01], axis=1
         )
-        nwall = 1000
+        nwall = int(np.clip(room[0] * height / 2e-4, 1000, 20000))
         wall = np.stack(
             [rng.rand(nwall) * room[0], np.zeros(nwall) + 0.01,
              rng.rand(nwall) * height], axis=1

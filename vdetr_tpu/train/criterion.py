@@ -27,7 +27,7 @@ from vdetr_tpu.geometry.iou import (
     generalized_box3d_iou,
 )
 from vdetr_tpu.geometry.points_in_boxes import points_in_boxes_all
-from vdetr_tpu.ops.hungarian import auction, hungarian
+from vdetr_tpu.ops.hungarian import auction, auction_capacity, hungarian
 
 
 def huber_loss(error, delta: float = 1.0):
@@ -173,8 +173,14 @@ class SetCriterion:
         cost = jnp.where(kmask[:, None, :], cost, 1e6)
         return cost
 
-    def solve_costs(self, cost, nactual):
-        """cost: (B, nprop, K); nactual: (B,). One batched LAP."""
+    def solve_costs(self, cost, nactual, repeat: int = 1):
+        """cost: (B, nprop, K); nactual: (B,). One batched LAP.
+
+        repeat > 1 marks the repeat-tiled GT layout
+        (repeat_ground_truth): the auction then solves the equivalent
+        capacity problem over GT classes instead of letting the
+        `repeat` identical rows fight bidding wars (ops/hungarian.py:
+        auction_capacity)."""
         B, nprop, K = cost.shape
         # assign each valid GT (row) a distinct proposal (col); if there are
         # more GT slots than proposals, pad with dummy proposal columns
@@ -183,7 +189,10 @@ class SetCriterion:
             pad = jnp.full((B, K, K - nprop), 1e6, costT.dtype)
             costT = jnp.concatenate([costT, pad], axis=2)
         if self.cfg.matcher_impl == "auction":
-            col4row = auction(costT, nactual)
+            if repeat > 1 and K % repeat == 0:
+                col4row = auction_capacity(costT, nactual, repeat)
+            else:
+                col4row = auction(costT, nactual)
         else:
             col4row = hungarian(costT, nactual)
         return SetCriterion.assignment_from_col4row(col4row, nprop)
@@ -421,31 +430,34 @@ class SetCriterion:
         # by cost-matrix shape: one LAP while-loop nest per shape group
         # instead of one per decoder layer (the batched while_loop advances
         # all problems in lockstep on device).
-        jobs = [("final", outputs["outputs"], targets_rep, num_boxes_rep)]
+        rep = c.repeat_num if c.repeat_num > 1 else 1
+        jobs = [("final", outputs["outputs"], targets_rep, num_boxes_rep,
+                 rep)]
         for k, aux in enumerate(outputs.get("aux_outputs", [])):
             if k == 0 and c.is_bilable:
                 bin_targets = dict(targets)
                 bin_targets["gt_box_sem_cls_label"] = jnp.zeros_like(
                     targets["gt_box_sem_cls_label"]
                 )
-                jobs.append((f"aux{k}", aux, bin_targets, num_boxes))
+                jobs.append((f"aux{k}", aux, bin_targets, num_boxes, 1))
             else:
-                jobs.append((f"aux{k}", aux, targets_rep, num_boxes_rep))
+                jobs.append((f"aux{k}", aux, targets_rep, num_boxes_rep,
+                             rep))
 
         prepared = []
         by_shape = {}
-        for i, (tag, out, tgt, nb) in enumerate(jobs):
+        for i, (tag, out, tgt, nb, jrep) in enumerate(jobs):
             out = self.prepare_output(out, tgt)
             cost = self.build_cost(out, tgt)
             prepared.append((tag, out, tgt, nb))
-            by_shape.setdefault(cost.shape[1:], []).append(
+            by_shape.setdefault((cost.shape[1:], jrep), []).append(
                 (i, cost, tgt["nactual_gt"])
             )
         assignments = [None] * len(jobs)
-        for (nprop, K), items in by_shape.items():
+        for ((nprop, K), jrep), items in by_shape.items():
             costs = jnp.concatenate([cst for _, cst, _ in items], axis=0)
             nacts = jnp.concatenate([n for _, _, n in items], axis=0)
-            assign = self.solve_costs(costs, nacts)
+            assign = self.solve_costs(costs, nacts, repeat=jrep)
             B = items[0][1].shape[0]
             for j, (i, _, _) in enumerate(items):
                 assignments[i] = jax.tree.map(
