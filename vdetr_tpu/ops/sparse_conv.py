@@ -210,7 +210,12 @@ def sparse_conv(grid: VoxelGrid, weights, kernel_size: int = 3,
 
     C_in, C_out = weights.shape[1], weights.shape[2]
     full_kernel = C_in in _WINDOW_CHANNELS and C_out in _WINDOW_CHANNELS
-    fwd_kernel = max(C_in, C_out) <= 512
+    # VMEM budget: the kernel holds the full bf16 weight tensor resident;
+    # 27*512*512*2 = 14 MB left only ~400 KB of the 16 MB scoped limit
+    # and OOMed depending on surrounding fusion — cap weights at 8 MB
+    # (keeps 64..256-channel convs and the 256->512 strided conv; the
+    # 512->512 stage-4 convs stay on the XLA gather path)
+    fwd_kernel = C_in * C_out * 27 * 2 <= 8 * 1024 * 1024
     if (grid.win_le is not None and kernel_size == 3
             and (full_kernel or fwd_kernel)):
         interp = jax.default_backend() not in ("tpu", "axon")
@@ -275,8 +280,9 @@ def sparse_conv_down(grid: VoxelGrid, weights, out_capacity: int = 0,
     V_out = out_grid.keys.shape[1]
     V_in = grid.keys.shape[1]
     geom = window_geometry(V_out)
-    if (kernel_size == 3 and geom and max(C_in, C_out) <= 512
-            and C_in >= 64 and _window_eligible(3, False)):
+    if (kernel_size == 3 and geom and C_in >= 64
+            and C_in * C_out * 27 * 2 <= 8 * 1024 * 1024
+            and _window_eligible(3, False)):
         # stride-2 conv via the window kernel FORWARD only: output
         # sites != input sites, so the flipped-map dFeats identity does
         # not apply — backward replays the XLA gather vjp
