@@ -31,21 +31,19 @@ from vdetr_tpu.ops.voxelize import (
 from vdetr_tpu.ops import sparse_conv_kernel as _wck
 
 # window-kernel geometry (ops/sparse_conv_kernel.py): output tile rows
-# and window block rows. 2*wb rows must cover the neighbor-rank span of
-# any `tile` consecutive sorted sites; overflows fall back to the exact
-# XLA gather path via lax.cond. Values from tools/window_sweep.py on
-# v5e (clustered surface scenes): mid capacities want the wider window
-# (denser tiles span more input rows), the extremes are fine at 256.
+# and window block rows, dual-cluster anchoring. With tile == wb each
+# neighbor-rank cluster of a tile fits one 2*wb window pair, and the
+# second pair absorbs x-slice-boundary tiles (the structural overflow
+# that previously forced whole-conv XLA fallback on real scans);
+# leftover >= 3-cluster tiles still fall back exactly via lax.cond.
 _WINDOW_CHANNELS = (64, 128, 256)
 
 
 def window_geometry(V: int):
     """(tile, wb) for a level of capacity V; None if ineligible."""
-    if V % 256:
+    if V % 128:
         return None
-    if 16384 <= V <= 32768:
-        return (512, 512) if V % 512 == 0 else (256, 256)
-    return (256, 256)
+    return (128, 128)
 
 
 def _offsets(kernel_size: int) -> Tuple[Tuple[int, int, int], ...]:

@@ -54,56 +54,84 @@ def build_window_map(nbr_idx, v_in: int, tile: int, wb: int):
     zero-pad row of the XLA path). Offsets are x-major/z-fastest, so
     offset k belongs to (dx, dy) group k // 3.
 
+    DUAL-CLUSTER WINDOWS: a tile straddling an x-slice boundary has its
+    neighbor ranks split into TWO narrow clusters one slice apart (the
+    far cluster is the next x-slice — spans of ~2000 rows at the 2 cm
+    level on real scans, 4-5% of tiles in every dx != 0 group, which
+    under a single window forced the whole conv onto the XLA fallback).
+    Each (tile, group) therefore anchors TWO independent 2*wb-row window
+    pairs: pair A at the minimum neighbor rank, pair B at the minimum
+    rank NOT covered by A. With tile == wb each cluster is at most
+    ~tile+2 rows wide and always fits a pair, so overflow only occurs
+    for >= 3 clusters in one tile (not observed on surface scans; the
+    exact XLA fallback still guards it).
+
     Returns (blk, le, overflow):
-      blk: (nt, 9) int32 — window block index per (tile, group), units
-           of wb rows; the kernel DMAs input rows [blk*wb, blk*wb+2*wb).
-      le:  (9, 3, V) int32 — window-local row index of each neighbor,
-           -1 for misses and overflow rows.
-      overflow: () bool — any valid neighbor fell outside its window
-           (caller must use the exact XLA path).
+      blk: (nt, 9, 2) int32 — block anchors (units of wb rows) of pair
+           A and pair B; the kernel DMAs rows [b*wb, b*wb + 2*wb) each.
+      le:  (9, 3, V) int32 — window-local index: [0, 2*wb) in pair A,
+           [2*wb, 4*wb) in pair B, -1 for misses/overflow.
+      overflow: () bool — some valid neighbor fit neither pair.
     """
     V = nbr_idx.shape[1]
     nt = V // tile
+    imax = jnp.iinfo(jnp.int32).max
     idx = nbr_idx.reshape(_GROUPS, _W, V)
     hit = idx < v_in
-    big = jnp.where(hit, idx, jnp.iinfo(jnp.int32).max)
-    base = big.min(axis=1)  # (9, V) first hit rank; INT_MAX if none
-    bt = base.reshape(_GROUPS, nt, tile).min(axis=2)  # (9, nt)
+    big = jnp.where(hit, idx, imax)
+    idx_t = big.reshape(_GROUPS, _W, nt, tile)
     max_blk = v_in // wb  # feats are padded by 2*wb rows; blk+1 stays valid
-    blk = jnp.where(bt == jnp.iinfo(jnp.int32).max, 0, bt // wb)
-    blk = jnp.clip(blk, 0, max_blk).astype(jnp.int32)
-    blk_rows = jnp.repeat(blk * wb, tile, axis=1)  # (9, V)
-    le = idx - blk_rows[:, None, :]
-    overflow = (hit & (le > 2 * wb - 1)).any()
-    le = jnp.where(hit & (le <= 2 * wb - 1), le, -1).astype(jnp.int32)
-    return jnp.transpose(blk, (1, 0)), le, overflow
+
+    def anchor(cands):
+        bt = cands.min(axis=(1, 3))  # (9, nt)
+        b = jnp.where(bt == imax, 0, bt // wb)
+        return jnp.clip(b, 0, max_blk).astype(jnp.int32)
+
+    b1 = anchor(idx_t)
+    loA = (b1 * wb)[:, None, :, None]
+    inA = (idx_t >= loA) & (idx_t <= loA + 2 * wb - 1)
+    b2 = anchor(jnp.where(inA, imax, idx_t))
+    loB = (b2 * wb)[:, None, :, None]
+    inB = (idx_t >= loB) & (idx_t <= loB + 2 * wb - 1) & ~inA
+    le_t = jnp.where(inA, idx_t - loA,
+                     jnp.where(inB, 2 * wb + idx_t - loB, -1))
+    hit_t = idx_t != imax
+    overflow = (hit_t & ~inA & ~inB).any()
+    le = le_t.reshape(_GROUPS, _W, V).astype(jnp.int32)
+    blk = jnp.stack([b1, b2], axis=-1)  # (9, nt, 2)
+    return jnp.transpose(blk, (1, 0, 2)), le, overflow
+
+
+_PAIRS = 2  # dual-cluster windows: 2 anchor pairs x 2 blocks per group
 
 
 def _conv_kernel(blk_ref, le_ref, w_ref, *refs):
-    """Grid (B, nt). refs = 18 window refs then out_ref.
+    """Grid (B, nt). refs = 36 window refs (pairA0, pairA1, pairB0,
+    pairB1 per group) then out_ref.
 
     le_ref block: (1, 9, 3, T); w_ref: (27, C, Co) bf16 full;
     window refs: (1, Wb, C); out: (1, T, Co) f32.
     """
-    wins = refs[: 2 * _GROUPS]
-    out_ref = refs[2 * _GROUPS]
+    nw = 2 * _PAIRS
+    wins = refs[: nw * _GROUPS]
+    out_ref = refs[nw * _GROUPS]
     T = le_ref.shape[3]
     C = wins[0].shape[2]
     Co = w_ref.shape[2]
     wb = wins[0].shape[1]
-    # one (3T, 2Wb) one-hot matmul per group instead of three (T, 2Wb):
+    # one (3T, 4Wb) one-hot matmul per group instead of three (T, 4Wb):
     # the MXU runs M=3T at ~3x the utilization of three M=T matmuls.
     # (A direct (3,T)->(3T,1) reshape of the le block is an unsupported
     # Mosaic shape cast; build per-e masks and concat on sublanes.)
-    iota = jax.lax.broadcasted_iota(jnp.int32, (T, 2 * wb), 1)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (T, 2 * _PAIRS * wb), 1)
     acc = jnp.zeros((T, Co), jnp.float32)
     for g in range(_GROUPS):
         win = jnp.concatenate(
-            [wins[2 * g][0], wins[2 * g + 1][0]], axis=0
-        ).astype(jnp.bfloat16)  # (2Wb, C)
+            [wins[nw * g + j][0] for j in range(nw)], axis=0
+        ).astype(jnp.bfloat16)  # (4Wb, C)
         s = jnp.concatenate(
             [(iota == le_ref[0, g, e, :][:, None]).astype(jnp.bfloat16)
-             for e in range(_W)], axis=0)  # (3T, 2Wb)
+             for e in range(_W)], axis=0)  # (3T, 4Wb)
         x = jax.lax.dot_general(
             s, win, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -117,10 +145,19 @@ def _conv_kernel(blk_ref, le_ref, w_ref, *refs):
     out_ref[0] = acc
 
 
-def _win_index_map(g, off):
+def _win_index_map(g, pair, off):
     def index_map(bi, t, blk_s):
-        return (bi, blk_s[bi, t, g] + off, 0)
+        return (bi, blk_s[bi, t, g, pair] + off, 0)
     return index_map
+
+
+def _win_specs(wb, C):
+    return [
+        pl.BlockSpec((1, wb, C), _win_index_map(g, pair, off))
+        for g in range(_GROUPS)
+        for pair in range(_PAIRS)
+        for off in range(2)
+    ]
 
 
 @functools.partial(jax.jit,
@@ -146,12 +183,6 @@ def window_conv(feats, blk, le, weights, tile: int = 256, wb: int = 256,
     )
     wflat = weights.astype(jnp.bfloat16)
 
-    win_specs = [
-        pl.BlockSpec((1, wb, C), _win_index_map(g, b_off))
-        for g in range(_GROUPS)
-        for b_off in range(2)
-    ]
-
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, nt),
@@ -159,7 +190,7 @@ def window_conv(feats, blk, le, weights, tile: int = 256, wb: int = 256,
             pl.BlockSpec((1, _GROUPS, _W, tile),
                          lambda bi, t, blk_s: (bi, 0, 0, t)),
             pl.BlockSpec((27, C, Co), lambda bi, t, blk_s: (0, 0, 0)),
-            *win_specs,
+            *_win_specs(wb, C),
         ],
         out_specs=pl.BlockSpec((1, tile, Co),
                                lambda bi, t, blk_s: (bi, t, 0)),
@@ -172,7 +203,7 @@ def window_conv(feats, blk, le, weights, tile: int = 256, wb: int = 256,
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(blk, le, wflat, *([feats_p] * (2 * _GROUPS)))
+    )(blk, le, wflat, *([feats_p] * (2 * _PAIRS * _GROUPS)))
 
 
 def flip_weights(weights):
@@ -182,15 +213,16 @@ def flip_weights(weights):
 
 
 def _dw_kernel(blk_ref, le_ref, dout_ref, *refs):
-    """Grid (B, nt). refs = 18 window refs then dw_ref (27, C, Co) f32.
+    """Grid (B, nt). refs = 36 window refs then dw_ref (27, C, Co) f32.
 
     Recomputes the gathered X_e per tile (same one-hot windows as the
     forward) and accumulates dW[k] += X_e^T @ dOut across all tiles and
     batch rows; dw_ref is revisited at every grid step (constant index
     map) so the accumulator lives in VMEM for the whole pass.
     """
-    wins = refs[: 2 * _GROUPS]
-    dw_ref = refs[2 * _GROUPS]
+    nw = 2 * _PAIRS
+    wins = refs[: nw * _GROUPS]
+    dw_ref = refs[nw * _GROUPS]
     T = le_ref.shape[3]
     wb = wins[0].shape[1]
     first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
@@ -199,15 +231,15 @@ def _dw_kernel(blk_ref, le_ref, dout_ref, *refs):
     def _init():
         dw_ref[...] = jnp.zeros(dw_ref.shape, dw_ref.dtype)
 
-    iota = jax.lax.broadcasted_iota(jnp.int32, (T, 2 * wb), 1)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (T, 2 * _PAIRS * wb), 1)
     dout = dout_ref[0].astype(jnp.bfloat16)  # (T, Co)
     for g in range(_GROUPS):
         win = jnp.concatenate(
-            [wins[2 * g][0], wins[2 * g + 1][0]], axis=0
+            [wins[nw * g + j][0] for j in range(nw)], axis=0
         ).astype(jnp.bfloat16)
         s = jnp.concatenate(
             [(iota == le_ref[0, g, e, :][:, None]).astype(jnp.bfloat16)
-             for e in range(_W)], axis=0)  # (3T, 2Wb)
+             for e in range(_W)], axis=0)  # (3T, 4Wb)
         x = jax.lax.dot_general(
             s, win, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -236,11 +268,6 @@ def window_conv_dw(feats, blk, le, dout, tile: int = 256, wb: int = 256,
         [feats.astype(jnp.bfloat16),
          jnp.zeros((B, 2 * wb, C), jnp.bfloat16)], axis=1
     )
-    win_specs = [
-        pl.BlockSpec((1, wb, C), _win_index_map(g, b_off))
-        for g in range(_GROUPS)
-        for b_off in range(2)
-    ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, nt),
@@ -248,7 +275,7 @@ def window_conv_dw(feats, blk, le, dout, tile: int = 256, wb: int = 256,
             pl.BlockSpec((1, _GROUPS, _W, tile),
                          lambda bi, t, blk_s: (bi, 0, 0, t)),
             pl.BlockSpec((1, tile, Co), lambda bi, t, blk_s: (bi, t, 0)),
-            *win_specs,
+            *_win_specs(wb, C),
         ],
         out_specs=pl.BlockSpec((27, C, Co),
                                lambda bi, t, blk_s: (0, 0, 0)),
@@ -261,7 +288,7 @@ def window_conv_dw(feats, blk, le, dout, tile: int = 256, wb: int = 256,
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(blk, le, dout, *([feats_p] * (2 * _GROUPS)))
+    )(blk, le, dout, *([feats_p] * (2 * _PAIRS * _GROUPS)))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
