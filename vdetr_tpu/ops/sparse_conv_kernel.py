@@ -99,7 +99,10 @@ def build_window_map(nbr_idx, v_in: int, tile: int, wb: int):
     overflow = (hit_t & ~inA & ~inB).any()
     le = le_t.reshape(_GROUPS, _W, V).astype(jnp.int32)
     blk = jnp.stack([b1, b2], axis=-1)  # (9, nt, 2)
-    return jnp.transpose(blk, (1, 0, 2)), le, overflow
+    # FLAT (nt*18,) layout: an (nt, 9, 2) scalar-prefetch operand pads
+    # its trailing dims in SMEM (~2 MB vs the 1 MB budget at nt=512)
+    blk = jnp.transpose(blk, (1, 0, 2)).reshape(nt * _GROUPS * _PAIRS)
+    return blk, le, overflow
 
 
 _PAIRS = 2  # dual-cluster windows: 2 anchor pairs x 2 blocks per group
@@ -146,8 +149,10 @@ def _conv_kernel(blk_ref, le_ref, w_ref, *refs):
 
 
 def _win_index_map(g, pair, off):
+    stride = _GROUPS * _PAIRS
+
     def index_map(bi, t, blk_s):
-        return (bi, blk_s[bi, t, g, pair] + off, 0)
+        return (bi, blk_s[bi, t * stride + g * _PAIRS + pair] + off, 0)
     return index_map
 
 
@@ -164,7 +169,7 @@ def _win_specs(wb, C):
                    static_argnames=("tile", "wb", "interpret"))
 def window_conv(feats, blk, le, weights, tile: int = 256, wb: int = 256,
                 interpret: bool = False):
-    """feats: (B, V_in, C); blk: (B, nt, 9); le: (B, 9, 3, V);
+    """feats: (B, V_in, C); blk: (B, nt*18) flat anchors; le: (B, 9, 3, V);
     weights: (27, C, Co). Returns (B, V, Co) float32.
 
     V (output rows) = le.shape[-1]; misses contribute zero (le == -1
@@ -174,7 +179,7 @@ def window_conv(feats, blk, le, weights, tile: int = 256, wb: int = 256,
     fused stream pass, the DMA bytes halve)."""
     B, v_in, C = feats.shape
     V = le.shape[-1]
-    nt = V // tile
+    nt = V // tile  # blk is pre-flattened (nt*18,); index maps stride it
     Co = weights.shape[-1]
     # pad so every window block [blk*wb, blk*wb + 2*wb) is in range
     feats_p = jnp.concatenate(
