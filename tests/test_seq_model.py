@@ -122,10 +122,14 @@ def test_seq_train_step_runs_and_learns(rng):
     state = trainer.init_state(jax.random.PRNGKey(0), batch)
     losses = []
     rngk = jax.random.PRNGKey(1)
-    for i in range(4):
+    for i in range(16):
         rngk, srng = jax.random.split(rngk)
         state, loss, loss_dict = trainer.train_step(state, batch, srng,
                                                     retries=0)
         losses.append(float(loss))
     assert all(np.isfinite(losses)), losses
-    assert losses[-1] < losses[0], losses
+    # smoothed decrease past LR warmup: single-step deltas early on are
+    # noise (a 4-step flat patch appeared when the synthetic scenes went
+    # to realistic surface density; measured trajectory only turns down
+    # after ~10 steps of the 36-step warmup ramp)
+    assert np.mean(losses[-4:]) < np.mean(losses[:4]), losses
