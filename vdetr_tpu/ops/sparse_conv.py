@@ -172,12 +172,27 @@ def attach_kernel_map(grid: VoxelGrid, kernel_size: int = 3,
     geom = window_geometry(V)
     if _window_eligible(kernel_size, window_interpret) and geom:
         tile, wb = geom
-        blk, le, ovf = jax.vmap(
+        max_tiles = max(1, (V // tile) // 8)
+        blk, le, bad = jax.vmap(
             lambda n: _wck.build_window_map(n, V, tile, wb)
         )(nbr)
-        out = out.replace(win_blk=blk, win_le=le, win_ovf=ovf,
-                          win_geom=geom)
+        rows, fnbr, fb = jax.vmap(
+            lambda n, b: _wck.build_fixup(n, b, V, tile, max_tiles)
+        )(nbr, bad)
+        out = out.replace(win_blk=blk, win_le=le, win_ovf=fb,
+                          fix_rows=rows, fix_nbr=fnbr, win_geom=geom)
     return out
+
+
+def _apply_fixup(out, feats, fix_rows, fix_nbr, weights, compute_dtype):
+    """Overwrite the window-kernel output at the fix-up rows with the
+    exact 27-offset gather conv (bit-identical to the XLA path)."""
+    fixed = jax.vmap(
+        lambda f, i: _gather_matmul(f, i, weights, compute_dtype)
+    )(feats, fix_nbr)
+    return jax.vmap(
+        lambda o, r, x: o.at[r].set(x, mode="drop")
+    )(out, fix_rows, fixed)
 
 
 def sparse_conv(grid: VoxelGrid, weights, kernel_size: int = 3,
@@ -222,14 +237,17 @@ def sparse_conv(grid: VoxelGrid, weights, kernel_size: int = 3,
 
         def kernel_path(feats):
             if full_kernel:
-                return _wck.window_conv_ad(
+                o = _wck.window_conv_ad(
                     feats, grid.win_blk, grid.win_le, weights,
                     tile, wb, interp)
-            # C=512 stage: kernel forward, XLA-gather backward (the dW
-            # kernel's f32 VMEM scratch would not fit at 27*512*512*4)
-            return _wck.window_conv_fwdk(
-                feats, grid.win_blk, grid.win_le, nbr, weights,
-                tile, wb, interp)
+            else:
+                # C=512 stage: kernel forward, XLA-gather backward (the
+                # dW kernel's f32 scratch would not fit at 27*512*512*4)
+                o = _wck.window_conv_fwdk(
+                    feats, grid.win_blk, grid.win_le, nbr, weights,
+                    tile, wb, interp)
+            return _apply_fixup(o, feats, grid.fix_rows, grid.fix_nbr,
+                                weights, compute_dtype)
 
         def xla_path(feats):
             return run(feats, nbr, weights)
@@ -289,17 +307,23 @@ def sparse_conv_down(grid: VoxelGrid, weights, out_capacity: int = 0,
         # submanifold case (queries 2*o + d are sorted).
         tile, wb = geom
         interp = jax.default_backend() not in ("tpu", "axon")
-        blk, le, ovf = jax.vmap(
+        max_tiles = max(1, (V_out // tile) // 8)
+        blk, le, bad = jax.vmap(
             lambda n: _wck.build_window_map(n, V_in, tile, wb))(nbr)
+        rows, fnbr, fb = jax.vmap(
+            lambda n, b: _wck.build_fixup(n, b, V_in, tile, max_tiles)
+        )(nbr, bad)
 
         def kernel_path(feats):
-            return _wck.window_conv_fwdk(feats, blk, le, nbr, weights,
-                                         tile, wb, interp)
+            o = _wck.window_conv_fwdk(feats, blk, le, nbr, weights,
+                                      tile, wb, interp)
+            return _apply_fixup(o, feats, rows, fnbr, weights,
+                                compute_dtype)
 
         def xla_path(feats):
             return run(feats, nbr, weights)
 
-        out = jax.lax.cond(ovf.any(), xla_path, kernel_path,
+        out = jax.lax.cond(fb.any(), xla_path, kernel_path,
                            grid.features)
     else:
         out = run(grid.features, nbr, weights)

@@ -66,12 +66,14 @@ def build_window_map(nbr_idx, v_in: int, tile: int, wb: int):
     for >= 3 clusters in one tile (not observed on surface scans; the
     exact XLA fallback still guards it).
 
-    Returns (blk, le, overflow):
-      blk: (nt, 9, 2) int32 — block anchors (units of wb rows) of pair
-           A and pair B; the kernel DMAs rows [b*wb, b*wb + 2*wb) each.
+    Returns (blk, le, bad_rows):
+      blk: (nt*18,) int32 — flat block anchors (units of wb rows) of
+           pairs A and B; the kernel DMAs rows [b*wb, b*wb + 2*wb) each.
       le:  (9, 3, V) int32 — window-local index: [0, 2*wb) in pair A,
            [2*wb, 4*wb) in pair B, -1 for misses/overflow.
-      overflow: () bool — some valid neighbor fit neither pair.
+      bad_rows: (V,) bool — rows with a valid neighbor that fit neither
+           pair (the caller either gathers a per-tile exact fix-up for
+           them or falls back to the XLA path).
     """
     V = nbr_idx.shape[1]
     nt = V // tile
@@ -96,13 +98,43 @@ def build_window_map(nbr_idx, v_in: int, tile: int, wb: int):
     le_t = jnp.where(inA, idx_t - loA,
                      jnp.where(inB, 2 * wb + idx_t - loB, -1))
     hit_t = idx_t != imax
-    overflow = (hit_t & ~inA & ~inB).any()
+    bad_rows = (hit_t & ~inA & ~inB).any(axis=(0, 1)).reshape(V)
     le = le_t.reshape(_GROUPS, _W, V).astype(jnp.int32)
     blk = jnp.stack([b1, b2], axis=-1)  # (9, nt, 2)
     # FLAT (nt*18,) layout: an (nt, 9, 2) scalar-prefetch operand pads
     # its trailing dims in SMEM (~2 MB vs the 1 MB budget at nt=512)
     blk = jnp.transpose(blk, (1, 0, 2)).reshape(nt * _GROUPS * _PAIRS)
-    return blk, le, overflow
+    return blk, le, bad_rows
+
+
+def build_fixup(nbr_idx, bad_rows, v_in: int, tile: int, max_tiles: int):
+    """Compact the bad tiles into an exact gather-based fix-up plan.
+
+    bad_rows: (V,) bool from build_window_map. Returns (rows, fix_nbr,
+    fallback): rows (max_tiles*tile,) int32 row indices (V for unused
+    slots), fix_nbr (27, max_tiles*tile) the neighbor map restricted to
+    those rows (pointing at the miss row for unused slots), and
+    fallback () bool — more bad tiles than max_tiles (use the full XLA
+    path). The kernel's output for listed rows is OVERWRITTEN by a
+    27-offset gather conv, which is bit-identical to the XLA path, so
+    scattered-neighbor tiles (e.g. wall tiles whose x+-1 neighbors
+    spread over a whole slice) cost one small gather instead of
+    forcing the entire conv onto the fallback."""
+    V = bad_rows.shape[0]
+    nt = V // tile
+    tile_bad = bad_rows.reshape(nt, tile).any(axis=1)
+    order = jnp.where(tile_bad, jnp.arange(nt, dtype=jnp.int32),
+                      jnp.int32(nt))
+    order = jnp.sort(order)[:max_tiles]  # bad tiles first, nt = unused
+    used = order < nt
+    rows = (order[:, None] * tile
+            + jnp.arange(tile, dtype=jnp.int32)[None, :])
+    rows = jnp.where(used[:, None], rows, V).reshape(-1)
+    safe = jnp.clip(rows, 0, V - 1)
+    fix_nbr = jnp.take(nbr_idx, safe, axis=1)
+    fix_nbr = jnp.where((rows < V)[None, :], fix_nbr, v_in)
+    fallback = tile_bad.sum() > max_tiles
+    return rows, fix_nbr, fallback
 
 
 _PAIRS = 2  # dual-cluster windows: 2 anchor pairs x 2 blocks per group

@@ -64,7 +64,12 @@ class VoxelGrid:
     # win_geom is the static (tile, wb) the arrays were built for
     win_blk: jnp.ndarray = None
     win_le: jnp.ndarray = None
+    # win_ovf: (B,) bool — bad tiles exceeded the fix-up budget, use the
+    # full XLA fallback; fix_rows/fix_nbr: the per-tile exact fix-up
+    # plan for scattered-neighbor tiles (sparse_conv_kernel.build_fixup)
     win_ovf: jnp.ndarray = None
+    fix_rows: jnp.ndarray = None
+    fix_nbr: jnp.ndarray = None
     win_geom: Tuple[int, int] = flax.struct.field(
         pytree_node=False, default=None)
 
