@@ -148,6 +148,18 @@ def main():
         state, loss, _ = trainer.train_step(state, tbatch, rngk, retries=0)
         loss0 = float(loss)  # host transfer = the only real fence on axon
         detail["train_compile_s"] = round(time.time() - t0, 1)
+        # warmup steps before timing: at INIT weights the decoder emits
+        # near-identical proposals, the matcher's pathological all-tied
+        # case — its while-loop iteration count (and so the step time)
+        # drops several-fold once the proposals differentiate (measured
+        # 1725 ms over the first post-compile steps vs 849 ms averaged
+        # over 16 steps). Timing from a few steps in reports the
+        # steady-state cost, matching tools/train_bench.py.
+        for i in range(3):
+            state, loss, _ = trainer.train_step(
+                state, tbatch, jax.random.fold_in(rngk, 1000 + i),
+                retries=0)
+        float(loss)
         t0 = time.time()
         for i in range(train_iters):
             state, loss, _ = trainer.train_step(
