@@ -152,8 +152,12 @@ def kernel_map(grid: VoxelGrid, kernel_size: int = 3) -> jnp.ndarray:
 
 
 def _window_eligible(kernel_size: int, interpret: bool) -> bool:
+    import os as _os
+
     import jax as _jax
 
+    if _os.environ.get("VDETR_DISABLE_WINDOW_KERNEL"):
+        return False  # A/B switch: force the XLA gather path
     return kernel_size == 3 and (
         interpret or _jax.default_backend() in ("tpu", "axon")
     )
