@@ -80,6 +80,58 @@ def test_window_conv_grads_match_xla():
         assert np.abs(a - b).max() / max(1e-6, np.abs(a).max()) < 2e-2
 
 
+def _comb_wall_grid(V_wall=128, V_slab=1024):
+    """A layout whose bad (scattered-neighbor) rows stay WITHIN the
+    fix-up budget: a sparse 'comb' slab at x=0 (one site every 8 voxels
+    in y) next to a dense slab at x=1. The comb tile's dx=+1 neighbor
+    ranks spread over ~8*V_wall rows — far more than the 2 dual-cluster
+    window pairs cover — so its rows are bad, but they all live in one
+    tile (the comb sorts first, x-major keys), so build_fixup absorbs
+    them and win_ovf stays False."""
+    vs = 0.05
+    wall = np.stack([np.zeros(V_wall), np.arange(V_wall) * 8.0,
+                     np.zeros(V_wall)], axis=1)
+    slab = np.stack([np.ones(V_slab), np.arange(V_slab) * 1.0,
+                     np.zeros(V_slab)], axis=1)
+    pts = ((np.concatenate([wall, slab]) + 0.5) * vs)[None].astype(
+        np.float32)
+    V = V_wall + V_slab
+    return voxelize(jnp.asarray(pts), jnp.asarray(pts),
+                    jnp.ones((1, V), bool), voxel_size=vs, capacity=V)
+
+
+def test_fixup_path_grads_match_xla():
+    """Gradients THROUGH the fix-up path (bad rows used, no overflow):
+    the flipped-map dFeats replay has -1 holes at bad rows, which the
+    backward must patch with the exact gather transpose conv — the
+    round-3 advisor's high finding."""
+    rng = np.random.RandomState(7)
+    grid = _comb_wall_grid()
+    V = grid.keys.shape[1]
+    C, Co = 64, 64
+    feats = jnp.asarray(rng.randn(1, V, C).astype(np.float32))
+    grid = grid.replace(features=feats * grid.valid[..., None])
+    w = jnp.asarray(rng.randn(27, C, Co).astype(np.float32) * 0.1)
+    g_plain = sc.attach_kernel_map(grid)
+    g_win = sc.attach_kernel_map(grid, window_interpret=True)
+    assert g_win.win_le is not None
+    # the layout must actually exercise the fix-up: no overflow, but
+    # used fix slots (rows < V)
+    assert not bool(np.asarray(g_win.win_ovf).any())
+    assert bool((np.asarray(g_win.fix_rows) < V).any())
+
+    def loss(base, w_, f_):
+        out = sc.sparse_conv(base.replace(features=f_), w_).features
+        return (out * jnp.cos(out)).sum()
+
+    ref = jax.grad(loss, argnums=(1, 2))(g_plain, w, g_plain.features)
+    got = jax.grad(loss, argnums=(1, 2))(g_win, w, g_win.features)
+    for name, a, b in zip(("dW", "dFeats"), ref, got):
+        a, b = np.asarray(a), np.asarray(b)
+        err = np.abs(a - b).max() / max(1e-6, np.abs(a).max())
+        assert err < 2e-2, (name, err)
+
+
 def test_flipped_map_identity():
     """dFeats of a submanifold conv == same window conv with reversed,
     transposed weights (offsets[26-k] == -offsets[k])."""

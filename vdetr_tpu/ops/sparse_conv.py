@@ -134,9 +134,38 @@ def _zrun_neighbors(in_keys, q0, valid, extent, r: int):
     return out.reshape(len(ek_groups) * w, -1)
 
 
-def kernel_map(grid: VoxelGrid, kernel_size: int = 3) -> jnp.ndarray:
+def _map_kernel_eligible(kernel_size: int, v_table: int, v_query: int,
+                         interpret: bool) -> bool:
+    import os as _os
+
+    if _os.environ.get("VDETR_DISABLE_MAP_KERNEL"):
+        return False  # A/B switch: force the double-sort path
+    if kernel_size != 3 or v_table % 128 or v_query % 128:
+        return False
+    return interpret or jax.default_backend() in ("tpu", "axon")
+
+
+def _stencil_map_or_fallback(in_keys, q0, qvalid, extent, interpret,
+                             fallback):
+    """Map kernel with exact lax.cond fallback: undecidable rows beyond
+    the fix-up budget (not observed on surface scans; the budget is
+    V/16 rows) route the whole map through `fallback` (the double-sort
+    path), so the result is always exact."""
+    from vdetr_tpu.ops import map_kernel as _mk
+
+    nbr, n_unpatched = _mk.stencil_map(in_keys, q0, qvalid, extent,
+                                       interpret=interpret)
+    return jax.lax.cond(n_unpatched > 0,
+                        lambda _: fallback(),
+                        lambda _: nbr, None)
+
+
+def kernel_map(grid: VoxelGrid, kernel_size: int = 3,
+               window_interpret: bool = False) -> jnp.ndarray:
     """(B, K, V) neighbor indices for a submanifold k^3 stencil on
-    `grid`'s own sites — one searchsorted pass per (dx, dy) offset group
+    `grid`'s own sites. On TPU this runs the windowed Mosaic map kernel
+    (ops/map_kernel.py: per-tile key-window compares, exact budgeted
+    patch); elsewhere one searchsorted pass per (dx, dy) offset group
     with the z-offsets derived from sorted-key adjacency
     (_zrun_neighbors)."""
     if kernel_size == 1:  # submanifold identity stencil: no lookup at all
@@ -148,7 +177,15 @@ def kernel_map(grid: VoxelGrid, kernel_size: int = 3) -> jnp.ndarray:
     def one(coords, keys, valid):
         return _zrun_neighbors(keys, coords, valid, grid.extent, r)
 
-    return jax.vmap(one)(grid.coords, grid.keys, grid.valid)
+    def sort_path():
+        return jax.vmap(one)(grid.coords, grid.keys, grid.valid)
+
+    V = grid.keys.shape[1]
+    if _map_kernel_eligible(kernel_size, V, V, window_interpret):
+        return _stencil_map_or_fallback(grid.keys, grid.coords,
+                                        grid.valid, grid.extent,
+                                        window_interpret, sort_path)
+    return sort_path()
 
 
 def _window_eligible(kernel_size: int, interpret: bool) -> bool:
@@ -170,7 +207,7 @@ def attach_kernel_map(grid: VoxelGrid, kernel_size: int = 3,
     (MinkowskiEngine's coordinate-manager kernel-map cache, done the
     XLA way). On TPU additionally derives the window-kernel arrays so
     stride-1 convs can run the Mosaic one-hot window kernel."""
-    nbr = kernel_map(grid, kernel_size)
+    nbr = kernel_map(grid, kernel_size, window_interpret=window_interpret)
     out = grid.replace(nbr_idx=nbr)
     V = grid.keys.shape[1]
     geom = window_geometry(V)
@@ -232,7 +269,9 @@ def sparse_conv(grid: VoxelGrid, weights, kernel_size: int = 3,
     # and OOMed depending on surrounding fusion — cap weights at 8 MB
     # (keeps 64..256-channel convs and the 256->512 strided conv; the
     # 512->512 stage-4 convs stay on the XLA gather path)
-    fwd_kernel = C_in * C_out * 27 * 2 <= 8 * 1024 * 1024
+    # C_in >= 64 floor (as in sparse_conv_down): sub-lane channel widths
+    # in the Mosaic kernel are a compile risk and waste the MXU
+    fwd_kernel = C_in >= 64 and C_in * C_out * 27 * 2 <= 8 * 1024 * 1024
     if (grid.win_le is not None and kernel_size == 3
             and (full_kernel or fwd_kernel)):
         interp = jax.default_backend() not in ("tpu", "axon")
@@ -243,7 +282,7 @@ def sparse_conv(grid: VoxelGrid, weights, kernel_size: int = 3,
             if full_kernel:
                 o = _wck.window_conv_ad(
                     feats, grid.win_blk, grid.win_le, weights,
-                    tile, wb, interp)
+                    grid.fix_rows, grid.fix_nbr, tile, wb, interp)
             else:
                 # C=512 stage: kernel forward, XLA-gather backward (the
                 # dW kernel's f32 scratch would not fit at 27*512*512*4)
@@ -281,6 +320,8 @@ def sparse_conv_down(grid: VoxelGrid, weights, out_capacity: int = 0,
             qkeys = pack_keys(out_coords * 2, grid.extent)
             qkeys = jnp.where(out_valid, qkeys, KEY_SENTINEL)
             return lookup(in_keys, qkeys)[None, :]
+        nbr = jax.vmap(one_map)(out_grid.coords, out_grid.valid,
+                                grid.keys)
     else:
         r = kernel_size // 2
 
@@ -288,7 +329,21 @@ def sparse_conv_down(grid: VoxelGrid, weights, out_capacity: int = 0,
             return _zrun_neighbors(in_keys, out_coords * 2, out_valid,
                                    grid.extent, r)
 
-    nbr = jax.vmap(one_map)(out_grid.coords, out_grid.valid, grid.keys)
+        def sort_path():
+            return jax.vmap(one_map)(out_grid.coords, out_grid.valid,
+                                     grid.keys)
+
+        V_in_ = grid.keys.shape[1]
+        V_out_ = out_grid.keys.shape[1]
+        if _map_kernel_eligible(kernel_size, V_in_, V_out_, False):
+            # stride-2 queries 2*o + d are monotone in the sorted output
+            # sites, so the same window-compare kernel applies with the
+            # output-doubled coords as query centers
+            nbr = _stencil_map_or_fallback(
+                grid.keys, out_grid.coords * 2, out_grid.valid,
+                grid.extent, False, sort_path)
+        else:
+            nbr = sort_path()
 
     @jax.checkpoint  # see sparse_conv: avoid storing per-offset gathers
     def run(in_feats, nbr, weights):

@@ -328,30 +328,55 @@ def window_conv_dw(feats, blk, le, dout, tile: int = 256, wb: int = 256,
     )(blk, le, dout, *([feats_p] * (2 * _PAIRS * _GROUPS)))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def window_conv_ad(feats, blk, le, weights, tile=256, wb=256,
-                   interpret=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def window_conv_ad(feats, blk, le, weights, fix_rows, fix_nbr,
+                   tile=256, wb=256, interpret=False):
     """Differentiable window_conv for SUBMANIFOLD convs (input sites ==
-    output sites — required by the flipped-map dFeats identity)."""
+    output sites — required by the flipped-map dFeats identity).
+
+    fix_rows/fix_nbr are the build_fixup plan for this map. The FORWARD
+    fix-up stays in the caller (sparse_conv._apply_fixup); they are
+    threaded here because the BACKWARD needs its own mirror: le's -1
+    holes at bad (scattered-neighbor) rows m would otherwise drop
+    dout[n] @ W[k]^T terms from output rows n that consumed feats[m] in
+    the forward (le[k, n] >= 0 but le[26-k, m] == -1 — window coverage
+    is not symmetric)."""
     return window_conv(feats, blk, le, weights, tile=tile, wb=wb,
                        interpret=interpret)
 
 
-def _wc_fwd(feats, blk, le, weights, tile, wb, interpret):
+def _wc_fwd(feats, blk, le, weights, fix_rows, fix_nbr,
+            tile, wb, interpret):
     out = window_conv(feats, blk, le, weights, tile=tile, wb=wb,
                       interpret=interpret)
-    return out, (feats, blk, le, weights)
+    return out, (feats, blk, le, weights, fix_rows, fix_nbr)
 
 
 def _wc_bwd(tile, wb, interpret, res, dout):
-    feats, blk, le, weights = res
+    # local import to avoid a module cycle with sparse_conv
+    from vdetr_tpu.ops.sparse_conv import _gather_matmul
+
+    feats, blk, le, weights, fix_rows, fix_nbr = res
     dout = dout.astype(jnp.float32)
-    dfeats = window_conv(dout, blk, le, flip_weights(weights),
+    fw = flip_weights(weights)
+    dfeats = window_conv(dout, blk, le, fw,
                          tile=tile, wb=wb, interpret=interpret)
+    # Mirror of the forward fix-up: overwrite dfeats at the fix rows m
+    # with the exact gather TRANSPOSE conv (submanifold stencil symmetry:
+    # nbr[26-k, m] == n  iff  nbr[k, n] == m, so gathering dout over
+    # fix_nbr with flipped weights sums exactly the dout[n] @ W[k]^T
+    # terms the windowed replay drops at le == -1 holes). Contributions
+    # from FIXED output rows are not double-counted: the caller's
+    # _apply_fixup .at[rows].set VJP zeroes dout at those rows and adds
+    # their dfeats terms through its own gather VJP.
+    fixed = jax.vmap(lambda d, i: _gather_matmul(d, i, fw))(dout, fix_nbr)
+    dfeats = jax.vmap(
+        lambda o, r, x: o.at[r].set(x, mode="drop")
+    )(dfeats, fix_rows, fixed)
     dfeats = dfeats.astype(feats.dtype)
     dw = window_conv_dw(feats, blk, le, dout, tile=tile, wb=wb,
                         interpret=interpret).astype(weights.dtype)
-    return dfeats, None, None, dw
+    return dfeats, None, None, dw, None, None
 
 
 window_conv_ad.defvjp(_wc_fwd, _wc_bwd)

@@ -59,9 +59,11 @@ class VoxelGrid:
     # same sites reuses it
     nbr_idx: jnp.ndarray = None
     # cached window-kernel arrays derived from nbr_idx (see
-    # ops/sparse_conv_kernel.build_window_map): blk (B, nt, 9),
-    # le (B, 9, 3, V), ovf (B,) — attach_kernel_map fills them on TPU;
-    # win_geom is the static (tile, wb) the arrays were built for
+    # ops/sparse_conv_kernel.build_window_map): blk (B, nt*9*2) — flat
+    # dual-pair anchors (an (nt, 9, 2) scalar-prefetch operand pads its
+    # trailing dims in SMEM past the 1 MB budget, so anchors ship as a
+    # flat vector) — le (B, 9, 3, V); attach_kernel_map fills them on
+    # TPU; win_geom is the static (tile, wb) the arrays were built for
     win_blk: jnp.ndarray = None
     win_le: jnp.ndarray = None
     # win_ovf: (B,) bool — bad tiles exceeded the fix-up budget, use the
