@@ -142,6 +142,13 @@ def _map_kernel_eligible(kernel_size: int, v_table: int, v_query: int,
         return False  # A/B switch: force the double-sort path
     if kernel_size != 3 or v_table % 128 or v_query % 128:
         return False
+    # small levels lose: the per-tile fixed cost (anchor lookup + 9 group
+    # window passes) stops amortizing below ~16k queries — measured on
+    # chip 10.1 ms kernel vs 7.6 ms double-sort at V=8k, while 16k/32k/
+    # 65k all win (tools/map_kernel_micro.py); interpret mode is only
+    # used by parity tests, keep those exercising the kernel at any size
+    if not interpret and v_query < 16384:
+        return False
     return interpret or jax.default_backend() in ("tpu", "axon")
 
 
