@@ -1,10 +1,12 @@
-"""Windowed one-hot Mosaic sparse-conv kernel (ops/sparse_conv_kernel.py)
-vs the XLA gather path, in interpret mode on CPU.
+"""Keyed (map-free) windowed Mosaic sparse-conv (ops/sparse_conv_keyed.py)
+vs the XLA gather path, in interpret mode on CPU, through the integrated
+`sparse_conv` / `sparse_conv_down` dispatch.
 
-Covers: forward parity, the flipped-map dFeats identity, the dW kernel,
-gradients through the integrated `sparse_conv` dispatch, and the
-overflow fallback (an adversarial layout must still be exact).
-Reference semantics: MinkowskiEngine submanifold convolution
+Covers: forward parity, gradients (flipped-weights dFeats identity +
+dW kernel), gradients THROUGH the fix-up path (bad rows used), the
+overflow fallback (adversarial layout must still be exact), stride-2
+keyed forward with lazily-mapped XLA backward, and all-miss rows.
+Reference semantics: MinkowskiEngine submanifold/strided convolution
 (reference models/mink_resnet.py via third-party ME).
 """
 
@@ -14,13 +16,8 @@ import jax.numpy as jnp
 import pytest
 
 from vdetr_tpu.ops import sparse_conv as sc
-from vdetr_tpu.ops.sparse_conv_kernel import (
-    build_window_map,
-    flip_weights,
-    window_conv,
-    window_conv_ad,
-)
-from vdetr_tpu.ops.voxelize import voxelize
+from vdetr_tpu.ops import sparse_conv_keyed as skc
+from vdetr_tpu.ops.voxelize import downsample_grid, voxelize
 
 
 def _grid(rng, V=512, clustered=True, B=1):
@@ -43,7 +40,7 @@ def _grid(rng, V=512, clustered=True, B=1):
                     jnp.ones((B, V), bool), voxel_size=0.05, capacity=V)
 
 
-def test_window_conv_forward_parity():
+def test_keyed_conv_forward_parity():
     rng = np.random.RandomState(0)
     grid = _grid(rng, V=512, B=2)
     C, Co = 64, 64
@@ -52,14 +49,14 @@ def test_window_conv_forward_parity():
     w = jnp.asarray(rng.randn(27, C, Co).astype(np.float32) * 0.1)
     plain = sc.sparse_conv(sc.attach_kernel_map(grid), w).features
     g_win = sc.attach_kernel_map(grid, window_interpret=True)
-    assert g_win.win_le is not None
+    assert g_win.wk_qkey is not None and g_win.nbr_idx is None
     assert not bool(np.asarray(g_win.win_ovf).any())
     got = sc.sparse_conv(g_win, w).features
     r, g = np.asarray(plain), np.asarray(got)
     assert np.abs(r - g).max() / np.abs(r).max() < 2e-2
 
 
-def test_window_conv_grads_match_xla():
+def test_keyed_conv_grads_match_xla():
     rng = np.random.RandomState(1)
     grid = _grid(rng, V=256)
     C, Co = 64, 128
@@ -85,8 +82,8 @@ def _comb_wall_grid(V_wall=128, V_slab=1024):
     fix-up budget: a sparse 'comb' slab at x=0 (one site every 8 voxels
     in y) next to a dense slab at x=1. The comb tile's dx=+1 neighbor
     ranks spread over ~8*V_wall rows — far more than the 2 dual-cluster
-    window pairs cover — so its rows are bad, but they all live in one
-    tile (the comb sorts first, x-major keys), so build_fixup absorbs
+    window pairs cover — so its rows are bad, but there are few of them
+    (the comb sorts first, x-major keys), so build_fix_plan absorbs
     them and win_ovf stays False."""
     vs = 0.05
     wall = np.stack([np.zeros(V_wall), np.arange(V_wall) * 8.0,
@@ -102,9 +99,9 @@ def _comb_wall_grid(V_wall=128, V_slab=1024):
 
 def test_fixup_path_grads_match_xla():
     """Gradients THROUGH the fix-up path (bad rows used, no overflow):
-    the flipped-map dFeats replay has -1 holes at bad rows, which the
-    backward must patch with the exact gather transpose conv — the
-    round-3 advisor's high finding."""
+    the flipped-weights dFeats replay misses terms at bad rows, which
+    the backward must patch with the exact gather transpose conv — the
+    structure mandated by the round-3 advisor's high finding."""
     rng = np.random.RandomState(7)
     grid = _comb_wall_grid()
     V = grid.keys.shape[1]
@@ -114,7 +111,7 @@ def test_fixup_path_grads_match_xla():
     w = jnp.asarray(rng.randn(27, C, Co).astype(np.float32) * 0.1)
     g_plain = sc.attach_kernel_map(grid)
     g_win = sc.attach_kernel_map(grid, window_interpret=True)
-    assert g_win.win_le is not None
+    assert g_win.wk_qkey is not None
     # the layout must actually exercise the fix-up: no overflow, but
     # used fix slots (rows < V)
     assert not bool(np.asarray(g_win.win_ovf).any())
@@ -132,8 +129,28 @@ def test_fixup_path_grads_match_xla():
         assert err < 2e-2, (name, err)
 
 
-def test_flipped_map_identity():
-    """dFeats of a submanifold conv == same window conv with reversed,
+def test_detect_bad_rows_matches_map_kernel():
+    """The XLA gap predicate must flag exactly the rows the windowed map
+    kernel reports undecidable (same anchors, same windows)."""
+    from vdetr_tpu.ops import map_kernel as mk
+    from vdetr_tpu.ops.voxelize import KEY_SENTINEL, pack_keys
+
+    grid = _comb_wall_grid()
+    V = grid.keys.shape[1]
+    assert V % 128 == 0
+    tile = wb = 128
+    k, q0, v = grid.keys[0], grid.coords[0], grid.valid[0]
+    geom = skc.conv_window_geometry(k, q0, v, grid.extent, tile, wb)
+    shifts = jnp.asarray(mk._group_shifts(grid.extent), jnp.int32)
+    _, bad_k = mk.window_map(k[None], geom["qkeym"][None],
+                             geom["mask"][None], geom["blk"][None],
+                             shifts, tile=tile, wb=wb, interpret=True)
+    np.testing.assert_array_equal(np.asarray(geom["bad"]),
+                                  np.asarray(bad_k[0]))
+
+
+def test_flipped_weights_identity():
+    """dFeats of a submanifold conv == same keyed conv with reversed,
     transposed weights (offsets[26-k] == -offsets[k])."""
     offs = sc._offsets(3)
     for k in range(27):
@@ -151,22 +168,17 @@ def test_overflow_falls_back_exactly():
     plain = sc.sparse_conv(sc.attach_kernel_map(grid), w).features
     got = sc.sparse_conv(g_win, w).features
     if bool(np.asarray(g_win.win_ovf).any()):
-        # fallback branch: results must be bit-identical to the XLA path
+        # fallback branch (lazily-built map): results must be
+        # bit-identical to the XLA path
         np.testing.assert_array_equal(np.asarray(plain), np.asarray(got))
     else:
         r, g = np.asarray(plain), np.asarray(got)
         assert np.abs(r - g).max() / np.abs(r).max() < 2e-2
 
 
-def test_fwdk_stride2_path():
-    """window_conv_fwdk (kernel forward, XLA backward) on a stride-2
-    neighbor map: output sites != input sites."""
-    from vdetr_tpu.ops.sparse_conv import (_gather_matmul,
-                                           sparse_conv_down)
-    from vdetr_tpu.ops.sparse_conv_kernel import window_conv_fwdk
-    from vdetr_tpu.ops.voxelize import downsample_grid
-    from vdetr_tpu.ops.sparse_conv import _zrun_neighbors
-
+def test_keyed_stride2_through_sparse_conv_down():
+    """Stride-2 keyed forward + lazily-mapped XLA backward through the
+    sparse_conv_down dispatch (output sites != input sites)."""
     rng = np.random.RandomState(4)
     grid = _grid(rng, V=512)
     C, Co = 64, 128
@@ -174,33 +186,22 @@ def test_fwdk_stride2_path():
     grid = grid.replace(features=feats * grid.valid[..., None])
     w = jnp.asarray(rng.randn(27, C, Co).astype(np.float32) * 0.1)
     out_grid = downsample_grid(grid, 256)
-    nbr = jax.vmap(
-        lambda oc, ov, ik: _zrun_neighbors(ik, oc * 2, ov, grid.extent, 1)
-    )(out_grid.coords, out_grid.valid, grid.keys)
-    ref = jax.vmap(lambda f, i: _gather_matmul(f, i, w))(
-        grid.features, nbr)
-    blk, le, ovf = jax.vmap(
-        lambda n: build_window_map(n, 512, 256, 256))(nbr)
-    if bool(np.asarray(ovf).any()):
-        pytest.skip("stride-2 layout overflowed on this seed")
 
-    def loss(f, w_):
-        out = window_conv_fwdk(f, blk, le, nbr, w_, 256, 256, True)
-        return (out * out).sum(), out
+    def loss(f, w_, win):
+        out = sc.sparse_conv_down(grid.replace(features=f), w_,
+                                  out_grid=out_grid,
+                                  window_interpret=win).features
+        return (out * jnp.cos(out)).sum(), out
 
-    (l, out), grads = jax.value_and_grad(loss, argnums=(0, 1),
-                                         has_aux=True)(grid.features, w)
-    r, g = np.asarray(ref), np.asarray(out)
+    (l_ref, ref), gref = jax.value_and_grad(
+        loss, argnums=(0, 1), has_aux=True)(grid.features, w, False)
+    (l_got, got), ggot = jax.value_and_grad(
+        loss, argnums=(0, 1), has_aux=True)(grid.features, w, True)
+    r, g = np.asarray(ref), np.asarray(got)
     assert np.abs(r - g).max() / np.abs(r).max() < 2e-2
-
-    def loss_ref(f, w_):
-        return (jax.vmap(lambda ff, i: _gather_matmul(ff, i, w_))(
-            f, nbr) ** 2).sum()
-
-    gref = jax.grad(loss_ref, argnums=(0, 1))(grid.features, w)
-    for a, b in zip(grads, gref):
+    for a, b in zip(gref, ggot):
         a, b = np.asarray(a), np.asarray(b)
-        assert np.abs(a - b).max() / max(1e-6, np.abs(b).max()) < 2e-2
+        assert np.abs(a - b).max() / max(1e-6, np.abs(a).max()) < 2e-2
 
 
 def test_miss_rows_contribute_zero():

@@ -88,7 +88,8 @@ def main():
     outs = model.apply(vs, grid)
     for i, o in enumerate(outs):
         g2 = attach_kernel_map(o.replace(nbr_idx=None, win_blk=None,
-                                         win_le=None, win_ovf=None,
+                                         wk_qkey=None, wk_mask=None,
+                                         wk_lazy_nbr=None, win_ovf=None,
                                          win_geom=None))
         ov = (bool(np.asarray(g2.win_ovf).any())
               if g2.win_ovf is not None else "n/a")

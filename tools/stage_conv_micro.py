@@ -70,7 +70,11 @@ def main():
         w = jnp.asarray(rng.randn(27, C, C).astype(np.float32) * 0.05)
 
         t_map = bench(jax.jit(lambda g: kernel_map(g, 3)), grid)
-        g = attach_kernel_map(grid)
+        # eager map so this micro measures the XLA gather path
+        g = attach_kernel_map(grid, eager_map=True)
+        g = g.replace(win_blk=None, wk_qkey=None, wk_mask=None,
+                      wk_lazy_nbr=None, win_ovf=None, fix_rows=None,
+                      fix_nbr=None, win_geom=None)
         fence(g.nbr_idx)
 
         conv32 = jax.jit(lambda g, w: sparse_conv(g, w, 3).features)

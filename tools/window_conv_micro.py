@@ -60,16 +60,23 @@ def main():
         fence(grid.keys)
         w = jnp.asarray(rng.randn(27, C, C).astype(np.float32) * 0.05)
 
-        g_plain = sc.attach_kernel_map(grid)
-        g_plain = g_plain.replace(win_blk=None, win_le=None, win_ovf=None)
-        g_win = sc.attach_kernel_map(grid)
-        fence(g_win.nbr_idx)
+        attach_plain = jax.jit(
+            lambda g: sc.attach_kernel_map(g, eager_map=True).replace(
+                win_blk=None, wk_qkey=None, wk_mask=None,
+                wk_lazy_nbr=None, win_ovf=None, fix_rows=None,
+                fix_nbr=None, win_geom=None))
+        attach_keyed = jax.jit(lambda g: sc.attach_kernel_map(g))
+        g_plain = attach_plain(grid)
+        g_win = attach_keyed(grid)
+        fence(g_plain.nbr_idx)
         ovf = bool(np.asarray(g_win.win_ovf).any()) \
             if g_win.win_ovf is not None else None
-        if g_win.win_le is None:
-            print(f"V={V}: window arrays not attached "
+        if g_win.wk_qkey is None:
+            print(f"V={V}: keyed geometry not attached "
                   f"(backend {jax.default_backend()})", flush=True)
             continue
+        t_ap = bench(attach_plain, grid)
+        t_ak = bench(attach_keyed, grid)
 
         conv_x = jax.jit(lambda g, w: sc.sparse_conv(g, w).features)
         ref = np.asarray(conv_x(g_plain, w))
@@ -91,7 +98,8 @@ def main():
         gerr = float(np.abs(gw_ref - gw_ker).max()
                      / max(1e-6, np.abs(gw_ref).max()))
 
-        print(f"V={V} C={C} ovf={ovf}: fwd xla {t_x:.2f} ms | "
+        print(f"V={V} C={C} ovf={ovf}: attach map {t_ap:.2f} ms | "
+              f"attach keyed {t_ak:.2f} ms || fwd xla {t_x:.2f} ms | "
               f"fwd kernel {t_k:.2f} ms | relerr {err:.2e} || "
               f"grad xla {t_xg:.2f} ms | grad kernel {t_kg:.2f} ms | "
               f"dW relerr {gerr:.2e}", flush=True)

@@ -17,6 +17,7 @@ import jax.numpy as jnp
 from vdetr_tpu.models.norm import MaskedBatchNorm, MaskedInstanceNorm
 from vdetr_tpu.ops.sparse_conv import (
     attach_kernel_map,
+    level_needs_eager_map,
     sparse_conv,
     sparse_conv_down,
     sparse_conv_transpose,
@@ -124,18 +125,21 @@ class SparseBasicBlock(nn.Module):
         in_ch = grid.features.shape[-1]
         out_grid = None
         if self.stride == 2:
-            # one site computation + one cached kernel map for the whole
-            # stage: the strided conv, the 1x1 downsample branch, conv2,
-            # and every later block on these sites share them
+            # one site computation + one cached window geometry (or
+            # kernel map, for non-keyed channel widths) for the whole
+            # stage: conv2 and every later block on these sites share it
             out_grid = attach_kernel_map(
-                downsample_grid(grid, self.out_capacity)
+                downsample_grid(grid, self.out_capacity),
+                eager_map=level_needs_eager_map(self.planes, self.planes),
             )
             out = SparseConvDown(self.planes, self.out_capacity,
                                  kernel_size=3, compute_dtype=cd,
                                  name="conv1")(grid, out_grid=out_grid)
         else:
-            if grid.nbr_idx is None:
-                grid = attach_kernel_map(grid)
+            if grid.nbr_idx is None and grid.wk_qkey is None:
+                grid = attach_kernel_map(
+                    grid, eager_map=level_needs_eager_map(self.planes,
+                                                          self.planes))
             out = SparseConv(self.planes, compute_dtype=cd,
                              name="conv1")(grid)
         f = MaskedBatchNorm(self.planes, use_running_average=not train,
@@ -195,8 +199,10 @@ class SparseBottleneck(nn.Module):
                 feats, valid
             )
 
-        if grid.nbr_idx is None:
-            grid = attach_kernel_map(grid)
+        if grid.nbr_idx is None and grid.wk_qkey is None:
+            grid = attach_kernel_map(
+                grid, eager_map=level_needs_eager_map(self.planes,
+                                                      self.planes))
         out = SparseConv(self.planes, kernel_size=1, compute_dtype=cd,
                          name="conv1")(grid)
         f = _store(nn.relu(bn("norm1", out.features, out.valid,
@@ -205,7 +211,8 @@ class SparseBottleneck(nn.Module):
         out_grid = None
         if self.stride == 2:
             out_grid = attach_kernel_map(
-                downsample_grid(grid, self.out_capacity)
+                downsample_grid(grid, self.out_capacity),
+                eager_map=level_needs_eager_map(self.planes, self.planes),
             )
             out = SparseConvDown(self.planes, self.out_capacity,
                                  kernel_size=3, compute_dtype=cd,

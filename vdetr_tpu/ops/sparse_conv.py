@@ -28,14 +28,15 @@ from vdetr_tpu.ops.voxelize import (
     pack_keys,
     upsample_candidates,
 )
-from vdetr_tpu.ops import sparse_conv_kernel as _wck
+from vdetr_tpu.ops import sparse_conv_keyed as _skc
 
-# window-kernel geometry (ops/sparse_conv_kernel.py): output tile rows
+# window-kernel geometry (ops/sparse_conv_keyed.py): output tile rows
 # and window block rows, dual-cluster anchoring. With tile == wb each
 # neighbor-rank cluster of a tile fits one 2*wb window pair, and the
 # second pair absorbs x-slice-boundary tiles (the structural overflow
 # that previously forced whole-conv XLA fallback on real scans);
-# leftover >= 3-cluster tiles still fall back exactly via lax.cond.
+# leftover >= 3-cluster rows are patched exactly (budgeted) or the
+# whole conv falls back exactly via lax.cond.
 _WINDOW_CHANNELS = (64, 128, 256)
 
 
@@ -195,6 +196,15 @@ def kernel_map(grid: VoxelGrid, kernel_size: int = 3,
     return sort_path()
 
 
+def level_needs_eager_map(c_in: int, c_out: int) -> bool:
+    """True when a k3 conv with these channel widths cannot run the
+    keyed window kernel (so its level must attach a real kernel map for
+    the XLA gather path; see the eligibility gates in sparse_conv)."""
+    full = c_in in _WINDOW_CHANNELS and c_out in _WINDOW_CHANNELS
+    fwd = c_in >= 64 and c_in * c_out * 27 * 2 <= 8 * 1024 * 1024
+    return not (full or fwd)
+
+
 def _window_eligible(kernel_size: int, interpret: bool) -> bool:
     import os as _os
 
@@ -208,28 +218,59 @@ def _window_eligible(kernel_size: int, interpret: bool) -> bool:
 
 
 def attach_kernel_map(grid: VoxelGrid, kernel_size: int = 3,
-                      window_interpret: bool = False) -> VoxelGrid:
-    """Compute and cache the submanifold kernel map on the grid: every
-    stride-1 conv over the same site set then skips its lookup entirely
-    (MinkowskiEngine's coordinate-manager kernel-map cache, done the
-    XLA way). On TPU additionally derives the window-kernel arrays so
-    stride-1 convs can run the Mosaic one-hot window kernel."""
-    nbr = kernel_map(grid, kernel_size, window_interpret=window_interpret)
-    out = grid.replace(nbr_idx=nbr)
+                      window_interpret: bool = False,
+                      eager_map: bool = False) -> VoxelGrid:
+    """Attach conv lookup structure to the grid (MinkowskiEngine's
+    coordinate-manager kernel-map cache, done the XLA way).
+
+    On TPU this attaches the KEYED window geometry
+    (ops/sparse_conv_keyed.py: anchors + validity + exact fix-up plan)
+    — no (27, V) kernel map is built at all; the exact sort-path map is
+    materialized lazily inside a lax.cond only if the fix-up budget
+    overflows (not observed on surface scans). Every stride-1 conv over
+    these sites then builds its one-hot row selection in-kernel from
+    the sorted keys.
+
+    eager_map=True additionally builds the real kernel map up front —
+    required when some conv on this level cannot run the keyed kernel
+    (channel widths outside the window set, e.g. the 512-channel stage)
+    and will take the XLA gather path unconditionally."""
     V = grid.keys.shape[1]
     geom = window_geometry(V)
-    if _window_eligible(kernel_size, window_interpret) and geom:
-        tile, wb = geom
-        max_tiles = max(1, (V // tile) // 8)
-        blk, le, bad = jax.vmap(
-            lambda n: _wck.build_window_map(n, V, tile, wb)
-        )(nbr)
-        rows, fnbr, fb = jax.vmap(
-            lambda n, b: _wck.build_fixup(n, b, V, tile, max_tiles)
-        )(nbr, bad)
-        out = out.replace(win_blk=blk, win_le=le, win_ovf=fb,
-                          fix_rows=rows, fix_nbr=fnbr, win_geom=geom)
-    return out
+    if not (_window_eligible(kernel_size, window_interpret) and geom):
+        nbr = kernel_map(grid, kernel_size,
+                         window_interpret=window_interpret)
+        return grid.replace(nbr_idx=nbr)
+    tile, wb = geom
+    g = jax.vmap(
+        lambda k, q, v: _skc.conv_window_geometry(k, q, v, grid.extent,
+                                                  tile, wb)
+    )(grid.keys, grid.coords, grid.valid)
+    budget = max(tile, V // 16)
+    rows, fnbr, ovf = jax.vmap(
+        lambda k, b, q, v: _skc.build_fix_plan(k, b, q, v, grid.extent,
+                                               budget)
+    )(grid.keys, g["bad"], grid.coords, grid.valid)
+    out = grid.replace(wk_qkey=g["qkeym"], wk_mask=g["mask"],
+                       win_blk=g["blk"], win_ovf=ovf, fix_rows=rows,
+                       fix_nbr=fnbr, win_geom=(tile, wb))
+    if eager_map:
+        nbr = kernel_map(grid, kernel_size,
+                         window_interpret=window_interpret)
+        return out.replace(nbr_idx=nbr)
+
+    # lazy exact fallback: the sort-path map is traced into the cond
+    # branch but only EXECUTED when the budget overflowed
+    def sort_path(_):
+        return jax.vmap(
+            lambda c, k, v: _zrun_neighbors(k, c, v, grid.extent, 1)
+        )(grid.coords, grid.keys, grid.valid)
+
+    B = grid.keys.shape[0]
+    lazy = jax.lax.cond(
+        ovf.any(), sort_path,
+        lambda _: jnp.zeros((B, kernel_size ** 3, V), jnp.int32), None)
+    return out.replace(wk_lazy_nbr=lazy)
 
 
 def _apply_fixup(out, feats, fix_rows, fix_nbr, weights, compute_dtype):
@@ -258,10 +299,6 @@ def sparse_conv(grid: VoxelGrid, weights, kernel_size: int = 3,
     costs one extra pass.
     """
     k3 = kernel_size ** 3
-    if grid.nbr_idx is not None and grid.nbr_idx.shape[1] == k3:
-        nbr = grid.nbr_idx
-    else:
-        nbr = kernel_map(grid, kernel_size)
 
     @jax.checkpoint
     def run(feats, nbr, weights):
@@ -279,32 +316,42 @@ def sparse_conv(grid: VoxelGrid, weights, kernel_size: int = 3,
     # C_in >= 64 floor (as in sparse_conv_down): sub-lane channel widths
     # in the Mosaic kernel are a compile risk and waste the MXU
     fwd_kernel = C_in >= 64 and C_in * C_out * 27 * 2 <= 8 * 1024 * 1024
-    if (grid.win_le is not None and kernel_size == 3
+    if (grid.wk_qkey is not None and kernel_size == 3
             and (full_kernel or fwd_kernel)):
         interp = jax.default_backend() not in ("tpu", "axon")
-
         tile, wb = grid.win_geom
+        shifts = jnp.asarray(_skc._group_shifts(grid.extent), jnp.int32)
+        fb_nbr = (grid.nbr_idx if grid.nbr_idx is not None
+                  else grid.wk_lazy_nbr)
 
         def kernel_path(feats):
             if full_kernel:
-                o = _wck.window_conv_ad(
-                    feats, grid.win_blk, grid.win_le, weights,
+                o = _skc.keyed_conv_ad(
+                    feats, grid.keys, grid.wk_qkey, grid.wk_mask,
+                    grid.win_blk, shifts, weights,
                     grid.fix_rows, grid.fix_nbr, tile, wb, interp)
             else:
-                # C=512 stage: kernel forward, XLA-gather backward (the
-                # dW kernel's f32 scratch would not fit at 27*512*512*4)
-                o = _wck.window_conv_fwdk(
-                    feats, grid.win_blk, grid.win_le, nbr, weights,
-                    tile, wb, interp)
+                # 256->512 convs: kernel forward, lazily-mapped XLA
+                # gather backward (the dW kernel's f32 scratch would
+                # not fit past 27*256*256*4)
+                o = _skc.keyed_conv_fwdk(
+                    feats, grid.keys, grid.wk_qkey, grid.wk_mask,
+                    grid.win_blk, shifts, weights,
+                    grid.coords, grid.valid, grid.extent,
+                    tile, wb, interp, 1)
             return _apply_fixup(o, feats, grid.fix_rows, grid.fix_nbr,
                                 weights, compute_dtype)
 
         def xla_path(feats):
-            return run(feats, nbr, weights)
+            return run(feats, fb_nbr, weights)
 
         out = jax.lax.cond(grid.win_ovf.any(), xla_path, kernel_path,
                            grid.features)
     else:
+        if grid.nbr_idx is not None and grid.nbr_idx.shape[1] == k3:
+            nbr = grid.nbr_idx
+        else:
+            nbr = kernel_map(grid, kernel_size)
         out = run(grid.features, nbr, weights)
     out = out * grid.valid[..., None]
     return grid.replace(features=out)
@@ -312,7 +359,8 @@ def sparse_conv(grid: VoxelGrid, weights, kernel_size: int = 3,
 
 def sparse_conv_down(grid: VoxelGrid, weights, out_capacity: int = 0,
                      kernel_size: int = 3, compute_dtype=None,
-                     out_grid: VoxelGrid = None) -> VoxelGrid:
+                     out_grid: VoxelGrid = None,
+                     window_interpret: bool = False) -> VoxelGrid:
     """Stride-2 sparse conv. Output sites = unique(floor(c/2)); for output
     o the input neighbors are 2*o + d, d in the kernel region (kernel 3)
     or exactly 2*o (kernel 1, the ResNet downsample branch).
@@ -332,67 +380,82 @@ def sparse_conv_down(grid: VoxelGrid, weights, out_capacity: int = 0,
     else:
         r = kernel_size // 2
 
-        def one_map(out_coords, out_valid, in_keys):
-            return _zrun_neighbors(in_keys, out_coords * 2, out_valid,
-                                   grid.extent, r)
+        def sort_path(_=None):
+            return jax.vmap(
+                lambda oc, ov, ik: _zrun_neighbors(ik, oc * 2, ov,
+                                                   grid.extent, r)
+            )(out_grid.coords, out_grid.valid, grid.keys)
 
-        def sort_path():
-            return jax.vmap(one_map)(out_grid.coords, out_grid.valid,
-                                     grid.keys)
+        @jax.checkpoint  # see sparse_conv: avoid storing per-offset gathers
+        def run(in_feats, nbr, weights):
+            return jax.vmap(
+                lambda f, i: _gather_matmul(f, i, weights, compute_dtype)
+            )(in_feats, nbr)
 
+        C_in, C_out = weights.shape[1], weights.shape[2]
+        V_out = out_grid.keys.shape[1]
         V_in_ = grid.keys.shape[1]
-        V_out_ = out_grid.keys.shape[1]
-        if _map_kernel_eligible(kernel_size, V_in_, V_out_, False):
-            # stride-2 queries 2*o + d are monotone in the sorted output
-            # sites, so the same window-compare kernel applies with the
-            # output-doubled coords as query centers
-            nbr = _stencil_map_or_fallback(
-                grid.keys, out_grid.coords * 2, out_grid.valid,
-                grid.extent, False, sort_path)
+        geom = window_geometry(V_out)
+        if (geom and C_in >= 64
+                and C_in * C_out * 27 * 2 <= 8 * 1024 * 1024
+                and _window_eligible(3, window_interpret)):
+            # stride-2 conv via the KEYED window kernel: queries are
+            # 2*out_coords + d in the INPUT lattice — monotone in the
+            # sorted output sites, so the same window anchoring applies.
+            # Output sites != input sites means the flipped-weights
+            # dFeats identity does not hold: backward rebuilds the map
+            # lazily and replays the XLA gather vjp (keyed_conv_fwdk) —
+            # eval never materializes a kernel map at all.
+            tile, wb = geom
+            interp = jax.default_backend() not in ("tpu", "axon")
+            q0 = out_grid.coords * 2
+            g = jax.vmap(
+                lambda k, q, v: _skc.conv_window_geometry(
+                    k, q, v, grid.extent, tile, wb)
+            )(grid.keys, q0, out_grid.valid)
+            budget = max(tile, V_out // 16)
+            rows, fnbr, ovf = jax.vmap(
+                lambda k, b, q, v: _skc.build_fix_plan(
+                    k, b, q, v, grid.extent, budget)
+            )(grid.keys, g["bad"], q0, out_grid.valid)
+            shifts = jnp.asarray(_skc._group_shifts(grid.extent),
+                                 jnp.int32)
+
+            def kernel_path(feats):
+                o = _skc.keyed_conv_fwdk(
+                    feats, grid.keys, g["qkeym"], g["mask"], g["blk"],
+                    shifts, weights, q0, out_grid.valid, grid.extent,
+                    tile, wb, interp, r)
+                return _apply_fixup(o, feats, rows, fnbr, weights,
+                                    compute_dtype)
+
+            def xla_path(feats):
+                # map built inside the branch: traced always, executed
+                # only on fix-budget overflow
+                return run(feats, sort_path(), weights)
+
+            out = jax.lax.cond(ovf.any(), xla_path, kernel_path,
+                               grid.features)
         else:
-            nbr = sort_path()
+            # non-keyed strided conv (e.g. the 3-channel stem): eager
+            # map via the windowed map kernel when eligible
+            if _map_kernel_eligible(kernel_size, V_in_, V_out, False):
+                nbr = _stencil_map_or_fallback(
+                    grid.keys, out_grid.coords * 2, out_grid.valid,
+                    grid.extent, False, sort_path)
+            else:
+                nbr = sort_path()
+            out = run(grid.features, nbr, weights)
+        out = out * out_grid.valid[..., None]
+        return out_grid.replace(features=out)
 
     @jax.checkpoint  # see sparse_conv: avoid storing per-offset gathers
-    def run(in_feats, nbr, weights):
+    def run1(in_feats, nbr, weights):
         return jax.vmap(
             lambda f, i: _gather_matmul(f, i, weights, compute_dtype)
         )(in_feats, nbr)
 
-    C_in, C_out = weights.shape[1], weights.shape[2]
-    V_out = out_grid.keys.shape[1]
-    V_in = grid.keys.shape[1]
-    geom = window_geometry(V_out)
-    if (kernel_size == 3 and geom and C_in >= 64
-            and C_in * C_out * 27 * 2 <= 8 * 1024 * 1024
-            and _window_eligible(3, False)):
-        # stride-2 conv via the window kernel FORWARD only: output
-        # sites != input sites, so the flipped-map dFeats identity does
-        # not apply — backward replays the XLA gather vjp
-        # (window_conv_fwdk). The (dx,dy)-group neighbor ranks of the
-        # sorted output sites are monotone exactly as in the
-        # submanifold case (queries 2*o + d are sorted).
-        tile, wb = geom
-        interp = jax.default_backend() not in ("tpu", "axon")
-        max_tiles = max(1, (V_out // tile) // 8)
-        blk, le, bad = jax.vmap(
-            lambda n: _wck.build_window_map(n, V_in, tile, wb))(nbr)
-        rows, fnbr, fb = jax.vmap(
-            lambda n, b: _wck.build_fixup(n, b, V_in, tile, max_tiles)
-        )(nbr, bad)
-
-        def kernel_path(feats):
-            o = _wck.window_conv_fwdk(feats, blk, le, nbr, weights,
-                                      tile, wb, interp)
-            return _apply_fixup(o, feats, rows, fnbr, weights,
-                                compute_dtype)
-
-        def xla_path(feats):
-            return run(feats, nbr, weights)
-
-        out = jax.lax.cond(fb.any(), xla_path, kernel_path,
-                           grid.features)
-    else:
-        out = run(grid.features, nbr, weights)
+    out = run1(grid.features, nbr, weights)
     out = out * out_grid.valid[..., None]
     return out_grid.replace(features=out)
 

@@ -55,20 +55,26 @@ class VoxelGrid:
     voxel_size: float = flax.struct.field(pytree_node=False)
     # cached kernel map: (B, K, V) neighbor indices into this grid's own
     # rows for a k^3 submanifold stencil (ME's coordinate-manager kernel
-    # map cache); attach_kernel_map fills it, every stride-1 conv on the
-    # same sites reuses it
+    # map cache); attach_kernel_map fills it EAGERLY only for levels
+    # whose convs cannot run the keyed window kernel; keyed levels keep
+    # it None and carry wk_lazy_nbr instead
     nbr_idx: jnp.ndarray = None
-    # cached window-kernel arrays derived from nbr_idx (see
-    # ops/sparse_conv_kernel.build_window_map): blk (B, nt*9*2) — flat
-    # dual-pair anchors (an (nt, 9, 2) scalar-prefetch operand pads its
+    # keyed window-kernel geometry (ops/sparse_conv_keyed.py), attached
+    # by attach_kernel_map on TPU: win_blk (B, nt*9*2) — flat dual-pair
+    # window anchors (an (nt, 9, 2) scalar-prefetch operand pads its
     # trailing dims in SMEM past the 1 MB budget, so anchors ship as a
-    # flat vector) — le (B, 9, 3, V); attach_kernel_map fills them on
-    # TPU; win_geom is the static (tile, wb) the arrays were built for
+    # flat vector); wk_qkey (B, V) shifted-safe query keys; wk_mask
+    # (B, V) 27-bit offset validity; win_geom the static (tile, wb)
     win_blk: jnp.ndarray = None
-    win_le: jnp.ndarray = None
-    # win_ovf: (B,) bool — bad tiles exceeded the fix-up budget, use the
-    # full XLA fallback; fix_rows/fix_nbr: the per-tile exact fix-up
-    # plan for scattered-neighbor tiles (sparse_conv_kernel.build_fixup)
+    wk_qkey: jnp.ndarray = None
+    wk_mask: jnp.ndarray = None
+    # wk_lazy_nbr: (B, 27, V) — the exact sort-path map, built inside a
+    # lax.cond ONLY when the fix-up budget overflowed (zeros otherwise);
+    # consumed exclusively by the overflow fallback branch
+    wk_lazy_nbr: jnp.ndarray = None
+    # win_ovf: (B,) bool — bad rows exceeded the fix-up budget, use the
+    # full XLA fallback; fix_rows/fix_nbr: the compacted exact fix-up
+    # plan for window-undecidable rows (sparse_conv_keyed.build_fix_plan)
     win_ovf: jnp.ndarray = None
     fix_rows: jnp.ndarray = None
     fix_nbr: jnp.ndarray = None
