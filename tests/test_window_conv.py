@@ -204,6 +204,36 @@ def test_keyed_stride2_through_sparse_conv_down():
         assert np.abs(a - b).max() / max(1e-6, np.abs(a).max()) < 2e-2
 
 
+def test_keyed_stem_small_cin():
+    """Stride-2 keyed conv with C_in=3 (the stem): channels zero-padded
+    to 32 inside the dispatch; forward and grads must match the XLA
+    gather path."""
+    rng = np.random.RandomState(9)
+    grid = _grid(rng, V=512)
+    C, Co = 3, 64
+    feats = jnp.asarray(rng.randn(1, 512, C).astype(np.float32))
+    grid = grid.replace(features=feats * grid.valid[..., None])
+    w = jnp.asarray(rng.randn(27, C, Co).astype(np.float32) * 0.1)
+    out_grid = downsample_grid(grid, 256)
+
+    def loss(f, w_, win):
+        out = sc.sparse_conv_down(grid.replace(features=f), w_,
+                                  out_grid=out_grid,
+                                  window_interpret=win).features
+        return (out * jnp.cos(out)).sum(), out
+
+    (_, ref), gref = jax.value_and_grad(
+        loss, argnums=(0, 1), has_aux=True)(grid.features, w, False)
+    (_, got), ggot = jax.value_and_grad(
+        loss, argnums=(0, 1), has_aux=True)(grid.features, w, True)
+    r, g = np.asarray(ref), np.asarray(got)
+    assert np.abs(r - g).max() / np.abs(r).max() < 2e-2
+    for a, b in zip(gref, ggot):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.abs(a - b).max() / max(1e-6, np.abs(a).max()) < 2e-2
+        assert a.shape == b.shape
+
+
 def test_miss_rows_contribute_zero():
     """All-miss sites (isolated voxels far apart) produce the center-tap
     result only."""

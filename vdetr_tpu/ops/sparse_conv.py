@@ -396,8 +396,16 @@ def sparse_conv_down(grid: VoxelGrid, weights, out_capacity: int = 0,
         V_out = out_grid.keys.shape[1]
         V_in_ = grid.keys.shape[1]
         geom = window_geometry(V_out)
-        if (geom and C_in >= 64
+        # small-C_in convs (the 3..6-channel STEM) run the keyed kernel
+        # with channels zero-padded to 32: (wb, 32) windows stay
+        # contiguous 8 KB DMA slabs and the s-build (which dominates at
+        # these widths) is channel-independent. The stem's kernel map —
+        # the single largest map build (table 131k, queries 65k) — then
+        # disappears from the eval forward entirely.
+        c_pad = 32 if C_in < 32 else None
+        if (geom and (C_in >= 64 or c_pad)
                 and C_in * C_out * 27 * 2 <= 8 * 1024 * 1024
+                and C_out >= 64
                 and _window_eligible(3, window_interpret)):
             # stride-2 conv via the KEYED window kernel: queries are
             # 2*out_coords + d in the INPUT lattice — monotone in the
@@ -422,9 +430,15 @@ def sparse_conv_down(grid: VoxelGrid, weights, out_capacity: int = 0,
                                  jnp.int32)
 
             def kernel_path(feats):
+                f_in, w_in = feats, weights
+                if c_pad:
+                    f_in = jnp.pad(feats, ((0, 0), (0, 0),
+                                           (0, c_pad - C_in)))
+                    w_in = jnp.pad(weights, ((0, 0), (0, c_pad - C_in),
+                                             (0, 0)))
                 o = _skc.keyed_conv_fwdk(
-                    feats, grid.keys, g["qkeym"], g["mask"], g["blk"],
-                    shifts, weights, q0, out_grid.valid, grid.extent,
+                    f_in, grid.keys, g["qkeym"], g["mask"], g["blk"],
+                    shifts, w_in, q0, out_grid.valid, grid.extent,
                     tile, wb, interp, r)
                 return _apply_fixup(o, feats, rows, fnbr, weights,
                                     compute_dtype)
