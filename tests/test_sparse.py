@@ -117,6 +117,31 @@ def test_lookup_hits_and_misses(rng):
                                                  int(nvalid - 1), grid.capacity)
 
 
+def test_fast_rank_matches_sort_and_numpy(rng):
+    """The block-summary fast lookup/rank must agree exactly with the
+    double-sort formulation and numpy searchsorted, including sentinel
+    queries, misses, and non-multiple-of-wb table sizes."""
+    from vdetr_tpu.ops.voxelize import (lookup_binary, lookup_rank,
+                                        lookup_rank_sort, lookup_sort)
+
+    for V, nq in ((1000, 5000), (128, 7), (77, 1000), (4096, 30000)):
+        keys = np.unique(
+            rng.randint(0, 2 ** 31 - 1, V * 2))[:V].astype(np.int32)
+        keys = np.sort(keys)
+        q = np.concatenate([
+            rng.choice(keys, nq // 2),
+            rng.randint(0, 2 ** 31 - 1, nq - nq // 2).astype(np.int32)])
+        q[::17] = KEY_SENTINEL
+        kj, qj = jnp.asarray(keys), jnp.asarray(q)
+        r_np = np.searchsorted(keys, q, side="left")
+        np.testing.assert_array_equal(np.asarray(lookup_rank(kj, qj)), r_np)
+        np.testing.assert_array_equal(
+            np.asarray(lookup_rank_sort(kj, qj)), r_np)
+        l_bin = np.asarray(lookup_binary(kj, qj))
+        np.testing.assert_array_equal(np.asarray(lookup(kj, qj)), l_bin)
+        np.testing.assert_array_equal(np.asarray(lookup_sort(kj, qj)), l_bin)
+
+
 def test_submanifold_conv_matches_dense(rng):
     grid, *_ = make_grid(rng)
     W = rng.randn(27, 4, 6).astype(np.float32) * 0.2

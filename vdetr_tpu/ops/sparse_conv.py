@@ -25,6 +25,7 @@ from vdetr_tpu.ops.voxelize import (
     downsample_grid,
     lookup,
     lookup_rank,
+    lookup_rank_sort,
     pack_keys,
     upsample_candidates,
 )
@@ -92,7 +93,8 @@ def _gather_matmul(in_feats, nbr_idx, weights, compute_dtype=None):
     return out
 
 
-def _zrun_neighbors(in_keys, q0, valid, extent, r: int):
+def _zrun_neighbors(in_keys, q0, valid, extent, r: int,
+                    rank_fn=lookup_rank):
     """(K, V) neighbor indices for the k^3 stencil centered at integer
     coords q0 (input-lattice units), exploiting z-adjacency of the sorted
     packed keys.
@@ -120,7 +122,7 @@ def _zrun_neighbors(in_keys, q0, valid, extent, r: int):
             ek_groups.append(jnp.stack(row))
     ek = jnp.stack(ek_groups)                  # (G, w, V) consecutive keys
     qmin = ek.min(axis=1)                      # (G, V): min valid expected
-    base = lookup_rank(in_keys, qmin)          # (G, V)
+    base = rank_fn(in_keys, qmin)              # (G, V)
     keys_ext = jnp.concatenate(
         [in_keys, jnp.full((w,), KEY_SENTINEL, jnp.int32)])
     wk = [keys_ext[jnp.clip(base + s, 0, V_in + w - 1)] for s in range(w)]
@@ -260,10 +262,14 @@ def attach_kernel_map(grid: VoxelGrid, kernel_size: int = 3,
         return out.replace(nbr_idx=nbr)
 
     # lazy exact fallback: the sort-path map is traced into the cond
-    # branch but only EXECUTED when the budget overflowed
+    # branch but only EXECUTED when the budget overflowed. Uses the
+    # double-sort rank on purpose: the fast block-gather rank would
+    # reserve a (9V, wb) transient in the branch's buffer assignment
+    # even when never executed, and fallback speed does not matter.
     def sort_path(_):
         return jax.vmap(
-            lambda c, k, v: _zrun_neighbors(k, c, v, grid.extent, 1)
+            lambda c, k, v: _zrun_neighbors(k, c, v, grid.extent, 1,
+                                            rank_fn=lookup_rank_sort)
         )(grid.coords, grid.keys, grid.valid)
 
     B = grid.keys.shape[0]
@@ -380,10 +386,11 @@ def sparse_conv_down(grid: VoxelGrid, weights, out_capacity: int = 0,
     else:
         r = kernel_size // 2
 
-        def sort_path(_=None):
+        def sort_path(_=None, rank_fn=lookup_rank):
             return jax.vmap(
                 lambda oc, ov, ik: _zrun_neighbors(ik, oc * 2, ov,
-                                                   grid.extent, r)
+                                                   grid.extent, r,
+                                                   rank_fn=rank_fn)
             )(out_grid.coords, out_grid.valid, grid.keys)
 
         @jax.checkpoint  # see sparse_conv: avoid storing per-offset gathers
@@ -445,8 +452,10 @@ def sparse_conv_down(grid: VoxelGrid, weights, out_capacity: int = 0,
 
             def xla_path(feats):
                 # map built inside the branch: traced always, executed
-                # only on fix-budget overflow
-                return run(feats, sort_path(), weights)
+                # only on fix-budget overflow (double-sort rank: see
+                # the lazy-fallback note in attach_kernel_map)
+                return run(feats, sort_path(rank_fn=lookup_rank_sort),
+                           weights)
 
             out = jax.lax.cond(ovf.any(), xla_path, kernel_path,
                                grid.features)
