@@ -100,3 +100,40 @@ def test_eval_step_outputs(setup):
     assert out["box_corners"].shape == (8, cfg.nqueries, 8, 3)
     p = np.asarray(out["sem_cls_prob"])
     assert (p >= 0).all() and (p <= 1).all(), "probs must be sigmoided"
+
+
+def test_small_capacity_init_matches(setup):
+    """init_state shrinks the init model to INIT_CAPACITY voxels (full-size
+    compiles cost minutes just to discover shapes); parameters and
+    batch_stats must be bit-identical to a full-size init because flax
+    derives rng keys from module paths and every initializer is
+    shape-only."""
+    cfg, _, _, batch, _ = setup
+    ds = ScannetDatasetConfig()
+    mesh = make_mesh(("data",), (-1,))
+    model = build_model(cfg, ds, axis_name="data")
+
+    small = Trainer(cfg, model, ds, mesh, steps_per_epoch=1)
+    small.INIT_CAPACITY = 512   # force the shrink path (cfg capacity 2048)
+    full = Trainer(cfg, model, ds, mesh, steps_per_epoch=1)
+    full.INIT_CAPACITY = 1 << 30
+
+    # sanity: the shrink actually engages
+    m, inp = small._init_model_and_inputs(
+        {k: batch[k] for k in ("point_clouds", "point_cloud_dims_min",
+                               "point_cloud_dims_max", "point_validity")
+         if k in batch})
+    assert m is not model and inp["point_clouds"].shape[1] == 512
+
+    s_small = small.init_state(jax.random.PRNGKey(0), batch)
+    s_full = full.init_state(jax.random.PRNGKey(0), batch)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        s_small.params, s_full.params,
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        s_small.batch_stats, s_full.batch_stats,
+    )

@@ -121,11 +121,39 @@ class Trainer:
         }
 
     # ---- state ----
+    INIT_CAPACITY = 16384  # voxel capacity of the shrunken init model
+
+    def _init_model_and_inputs(self, inputs):
+        """Parameter/batch-stat SHAPES depend only on channel/head/query
+        dims, never on num_points or the voxel capacities — so init runs
+        a small-capacity sibling model on a sliced batch instead of
+        compiling the full-size forward (which costs minutes of XLA time
+        per config just to discover shapes). Same rng path + same
+        shape-only initializers => bit-identical parameters
+        (tests/test_train_step.py::test_small_capacity_init_matches)."""
+        c = self.cfg
+        cap = min(c.voxel_capacity, self.INIT_CAPACITY)
+        npts = min(c.num_points, cap)
+        if self.seq is not None or (cap == c.voxel_capacity
+                                    and npts == c.num_points):
+            return self.model, inputs
+        from vdetr_tpu.models import build_model
+
+        small = build_model(c.replace(num_points=npts, voxel_capacity=cap),
+                            self.dataset_config,
+                            axis_name=self.model.axis_name)
+        sliced = dict(inputs)
+        sliced["point_clouds"] = inputs["point_clouds"][:, :npts]
+        if "point_validity" in sliced:
+            sliced["point_validity"] = inputs["point_validity"][:, :npts]
+        return small, sliced
+
     def init_state(self, rng, sample_batch) -> TrainState:
         # jitted init: eager flax init dispatches every op separately,
         # which takes ~10 min over a remote-attached TPU tunnel
         inputs = _model_inputs(sample_batch)
-        init = lambda r, inp: self.model.init(r, inp, train=False)
+        init_model, inputs = self._init_model_and_inputs(inputs)
+        init = lambda r, inp: init_model.init(r, inp, train=False)
         if self.seq is not None:
             # seq mode traces collectives even at init: run under shard_map
             init = shard_map(
