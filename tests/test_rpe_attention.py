@@ -17,8 +17,11 @@ def make_case(rng, B=2, nQ=16, nK=64, H=4, hd=8, n=10):
     v = rng.randn(B, nK, hd).astype(np.float32)
     centers = rng.rand(B, nQ, 3).astype(np.float32) * 4
     sizes = rng.rand(B, nQ, 3).astype(np.float32) + 0.3
-    offs = np.array([[i, j, l] for i in (-1, 1) for j in (-1, 1)
-                     for l in (-1, 1)], np.float32) / 2
+    # model corner-pair convention (kernel contract): corners (i, i+4)
+    # share x/y and differ only in z — the sign layout produced by
+    # geometry/boxes.box_parametrization_to_corners after camera->lidar
+    offs = np.array([[i, j, l] for l in (-1, 1) for i in (-1, 1)
+                     for j in (-1, 1)], np.float32) / 2
     corners = centers[:, :, None, :] + offs[None, None] * sizes[:, :, None, :]
     angles = (rng.rand(B, nQ).astype(np.float32) - 0.5) * 2
     key_xyz = rng.rand(B, nK, 3).astype(np.float32) * 4

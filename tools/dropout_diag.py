@@ -30,7 +30,11 @@ B, nQ, nK, H, hd, n = 1, 64, 256, 4, 64, 10
 q = jnp.asarray(rng.randn(B, nQ, H, hd).astype(np.float32) * 0.3)
 k = jnp.asarray(rng.randn(B, nK, hd).astype(np.float32) * 0.3)
 v = jnp.asarray(rng.randn(B, nK, hd).astype(np.float32))
-corners = jnp.asarray(rng.rand(B, nQ, 8, 3).astype(np.float32) * 4)
+_c = rng.rand(B, nQ, 3).astype(np.float32) * 4
+_s = rng.rand(B, nQ, 3).astype(np.float32) + 0.3
+_offs = np.array([[i, j, l] for l in (-1, 1) for i in (-1, 1)
+                  for j in (-1, 1)], np.float32) / 2
+corners = jnp.asarray(_c[:, :, None, :] + _offs[None, None] * _s[:, :, None, :])
 angles = jnp.asarray((rng.rand(B, nQ).astype(np.float32) - 0.5) * 2)
 key_xyz = jnp.asarray(rng.rand(B, nK, 3).astype(np.float32) * 4)
 tables = jnp.asarray(rng.randn(8, n, n, n, H).astype(np.float32) * 0.1)

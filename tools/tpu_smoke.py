@@ -51,7 +51,13 @@ def run_checks():
     q = jnp.asarray(rng.randn(B, nQ, H, hd).astype(np.float32) * 0.3)
     k = jnp.asarray(rng.randn(B, nK, hd).astype(np.float32) * 0.3)
     v = jnp.asarray(rng.randn(B, nK, hd).astype(np.float32))
-    corners = jnp.asarray(rng.rand(B, nQ, 8, 3).astype(np.float32) * 4)
+    # kernel corner-pair contract: (i, i+4) share x/y (box-derived layout)
+    centers = rng.rand(B, nQ, 3).astype(np.float32) * 4
+    sizes = rng.rand(B, nQ, 3).astype(np.float32) + 0.3
+    offs = np.array([[i, j, l] for l in (-1, 1) for i in (-1, 1)
+                     for j in (-1, 1)], np.float32) / 2
+    corners = jnp.asarray(
+        centers[:, :, None, :] + offs[None, None] * sizes[:, :, None, :])
     angles = jnp.asarray((rng.rand(B, nQ).astype(np.float32) - 0.5) * 2)
     key_xyz = jnp.asarray(rng.rand(B, nK, 3).astype(np.float32) * 4)
     tables = jnp.asarray(rng.randn(8, n, n, n, H).astype(np.float32) * 0.1)

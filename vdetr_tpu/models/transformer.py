@@ -565,9 +565,17 @@ class TransformerDecoder(nn.Module):
                     c.dec_dim, axis_name=self.axis_name,
                     name=f"key_pos_projection{idx}",
                 )(enc_xyz, train)
-            # rematerialized layer: backward recomputes attention instead
-            # of keeping the (B, H, nQ, nK) tensors of all layers alive
-            layer_cls = nn.remat(GlobalDecoderLayer, static_argnums=(9,))
+            # materialized-bias layers rematerialize: their backward would
+            # otherwise keep the (B, H, nQ, nK) tensors of all layers
+            # alive. The fused flash path stores only q/k/v/lse (a few MB
+            # per layer) and its backward recomputes the bias in-kernel
+            # already — wrapping it in remat would re-run the ~11 ms
+            # flash forward once more per layer for nothing (measured
+            # 38.8 -> ~27 ms/layer, tools/dec_bisect.py round 4)
+            if c.rpe_impl == "fused":
+                layer_cls = GlobalDecoderLayer
+            else:
+                layer_cls = nn.remat(GlobalDecoderLayer, static_argnums=(9,))
             output = layer_cls(
                 c, axis_name=self.axis_name, name=f"layer{idx}"
             )(output, enc_features, reference_point, reference_angle,

@@ -49,11 +49,30 @@ def _quantize(delta, log_scale, max_value, n):
 
 
 def _flatten_tables(tables):
-    """(8, n, n, n, H) -> (8, n^2, n*H): row (d*n + h_axis), column
-    (w*H + head) — the contraction layout of the in-kernel factorized
-    trilinear sample."""
+    """(8, n, n, n, H) -> (4, n^2, 2*n*H): the PAIRED contraction layout.
+
+    Table axes are (d=z, h=y, w=x, H) (ops/rpe.py sampling convention:
+    delta component 0 -> w, 1 -> h, 2 -> d). The kernel contracts over
+    the (y, x) axis pair and folds z on the output lanes, because model
+    box corners come in 4 (i, i+4) pairs that share lidar (x, y) and
+    differ only in z (geometry/boxes.py:74-76 camera sy signs +
+    convert_corners_camera2lidar; the roty heading never mixes height).
+    Each pair then shares ONE (n^2, E) hat matrix and ONE MXU dot with
+    the two corners' tables stacked on the lane axis:
+
+      row (y*n + x), column (j*n*H + z*H + head), j = 0 (corner i) or
+      1 (corner i+4).
+    """
     C, n, _, _, H = tables.shape
-    return tables.reshape(C, n * n, n * H)
+    t = tables.transpose(0, 2, 3, 1, 4).reshape(C, n * n, n * H)
+    return jnp.concatenate([t[0:4], t[4:8]], axis=2)
+
+
+def _unflatten_dtables(dt, n, H):
+    """Inverse of _flatten_tables for the table gradient:
+    (4, n^2, 2*n*H) -> (8, n, n, n, H)."""
+    da = jnp.concatenate([dt[:, :, : n * H], dt[:, :, n * H:]], axis=0)
+    return da.reshape(8, n, n, n, H).transpose(0, 3, 1, 2, 4)
 
 
 def _hat(iota, idx):
@@ -69,10 +88,10 @@ def _tile_iotas(n, H, E):
     """Lattice-index iotas and the head-selection matrix, all built
     directly in their compute layouts (no reshapes)."""
     row2 = jax.lax.broadcasted_iota(jnp.int32, (n * n, E), 0)
-    rowa = (row2 // n).astype(jnp.float32)             # d-axis lattice idx
-    rowb = (row2 % n).astype(jnp.float32)              # h-axis lattice idx
+    rowa = (row2 // n).astype(jnp.float32)             # y-axis lattice idx
+    rowb = (row2 % n).astype(jnp.float32)              # x-axis lattice idx
     rownh = jax.lax.broadcasted_iota(jnp.int32, (n * H, E), 0)
-    roww = (rownh // H).astype(jnp.float32)            # w-axis lattice idx
+    roww = (rownh // H).astype(jnp.float32)            # z-axis lattice idx
     # head-selection matrix S[h, r] = (r % H == h)
     sel_r = jax.lax.broadcasted_iota(jnp.int32, (H, n * H), 1)
     sel_h = jax.lax.broadcasted_iota(jnp.int32, (H, n * H), 0)
@@ -80,11 +99,15 @@ def _tile_iotas(n, H, E):
     return rowa, rowb, roww, S
 
 
-def _corner_tap_fn(corners_ref, cossin_ref, kxyz_ref, *, TQ, E, n,
-                   log_scale, max_value, rotate):
-    """Returns corner_idx(c) -> (iw, ih, id_) quantized (1, E) table
-    indices for corner c of the current tile — shared by the forward and
-    both backward kernels so the recomputed bias taps match exactly."""
+def _pair_tap_fn(corners_ref, cossin_ref, kxyz_ref, *, TQ, E, n,
+                 log_scale, max_value, rotate):
+    """Returns pair_idx(p) -> (ix, iy, iza, izb) quantized (1, E) table
+    indices for corner pair (p, p+4) of the current tile — shared by the
+    forward and backward kernels so the recomputed bias taps match
+    exactly.
+
+    CONTRACT: corners p and p+4 share x and y (model boxes always do —
+    see _flatten_tables); x/y are read from corner p, z from both."""
     kx = kxyz_ref[0, 0:1, :]               # (1, TK)
     ky = kxyz_ref[0, 1:2, :]
     kz = kxyz_ref[0, 2:3, :]
@@ -92,38 +115,46 @@ def _corner_tap_fn(corners_ref, cossin_ref, kxyz_ref, *, TQ, E, n,
         co = cossin_ref[0][:, 0].reshape(TQ, 1)
         si = cossin_ref[0][:, 1].reshape(TQ, 1)
 
-    def corner_idx(c):
-        cx = corners_ref[0][:, 3 * c + 0].reshape(TQ, 1)
-        cy = corners_ref[0][:, 3 * c + 1].reshape(TQ, 1)
-        cz = corners_ref[0][:, 3 * c + 2].reshape(TQ, 1)
+    def pair_idx(p):
+        cx = corners_ref[0][:, 3 * p + 0].reshape(TQ, 1)
+        cy = corners_ref[0][:, 3 * p + 1].reshape(TQ, 1)
+        cza = corners_ref[0][:, 3 * p + 2].reshape(TQ, 1)
+        czb = corners_ref[0][:, 3 * (p + 4) + 2].reshape(TQ, 1)
         dx = cx - kx                                   # (TQ, TK)
         dy = cy - ky
-        dz = cz - kz
         if rotate:
+            # the z-rotation never mixes z: pair sharing is preserved
             dx, dy = dx * co - dy * si, dx * si + dy * co
-        # component 0 -> last table axis (w), 1 -> h, 2 -> d
-        iw = _quantize(dx, log_scale, max_value, n).reshape(1, E)
-        ih = _quantize(dy, log_scale, max_value, n).reshape(1, E)
-        id_ = _quantize(dz, log_scale, max_value, n).reshape(1, E)
-        return iw, ih, id_
+        # component 0 (x) -> table w axis, 1 (y) -> h, 2 (z) -> d
+        ix = _quantize(dx, log_scale, max_value, n).reshape(1, E)
+        iy = _quantize(dy, log_scale, max_value, n).reshape(1, E)
+        iza = _quantize(cza - kz, log_scale, max_value, n).reshape(1, E)
+        izb = _quantize(czb - kz, log_scale, max_value, n).reshape(1, E)
+        return ix, iy, iza, izb
 
-    return corner_idx
+    return pair_idx
 
 
-def _bias_tile(corner_idx, tables_ref, iotas, n, H):
+def _bias_tile(pair_idx, tables_ref, iotas, n, H):
     """(H*TQ-row-compatible) RPE bias for one tile: returns the (H, E)
-    per-head bias (the caller reshapes to (H*TQ, TK))."""
+    per-head bias (the caller reshapes to (H*TQ, TK)).
+
+    Paired form: ONE (n^2, E) hat-product matrix P and ONE MXU dot per
+    corner PAIR (tables stacked to 2*n*H lanes), then per-corner z-hat
+    folds on the output halves — half the MXU passes and half the VPU
+    hat builds of the per-corner form (tools/layer_micro.py round 4)."""
     rowa, rowb, roww, S = iotas
     E = rowa.shape[1]
-    v40 = jnp.zeros((n * H, E), jnp.float32)
-    for c in range(8):
-        iw, ih, id_ = corner_idx(c)
-        P = _hat(rowa, id_) * _hat(rowb, ih)
+    nH = n * H
+    v40 = jnp.zeros((nH, E), jnp.float32)
+    for p in range(4):
+        ix, iy, iza, izb = pair_idx(p)
+        P = _hat(rowa, iy) * _hat(rowb, ix)
         U = jax.lax.dot_general(
-            tables_ref[c], P, (((0,), (0,)), ((), ())),
+            tables_ref[p], P, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )                                              # (n*H, E)
-        v40 = v40 + U * _hat(roww, iw)
+        )                                              # (2*n*H, E)
+        v40 = v40 + U[:nH] * _hat(roww, iza) + U[nH:] * _hat(roww, izb)
     return jax.lax.dot_general(
         S, v40, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -196,21 +227,23 @@ def _kernel(seed_ref, q_ref, k_ref, v_ref, corners_ref, cossin_ref, kxyz_ref,
         preferred_element_type=jnp.float32,
     )
 
-    # RPE bias, 8 corners, gather-free factorized trilinear. Per corner:
-    # build the (n^2, E) d/h hat-pair weight matrix P DIRECTLY in its
-    # final layout (row r of the n^2 axis decodes to (r//n, r%n); the two
-    # grid_sample taps per axis are exactly relu(1 - |lattice - index|)),
-    # one MXU contraction with the (n^2, n*H) table, then multiply by the
-    # w-axis hat expanded to (n*H, E) — again built in-layout from a
-    # row//H iota. The w/head fold is ONE tiny constant selection matmul
-    # (H, n*H) @ (n*H, E) AFTER summing corners. No reshapes of wide
-    # intermediates: Mosaic relayouts of (10,10,E)<->(100,E) were
-    # measured at ~7 ms/layer (tools/rpe_ablate.py); this form has none.
-    corner_idx = _corner_tap_fn(corners_ref, cossin_ref, kxyz_ref, TQ=TQ,
-                                E=E, n=n, log_scale=log_scale,
-                                max_value=max_value, rotate=rotate)
+    # RPE bias, 8 corners as 4 xy-sharing PAIRS, gather-free factorized
+    # trilinear. Per pair: build the (n^2, E) y/x hat-pair weight matrix
+    # P DIRECTLY in its final layout (row r of the n^2 axis decodes to
+    # (r//n, r%n); the two grid_sample taps per axis are exactly
+    # relu(1 - |lattice - index|)), one MXU contraction with the
+    # (n^2, 2*n*H) stacked pair table, then multiply each output half by
+    # its corner's z-axis hat expanded to (n*H, E) — again built
+    # in-layout from a row//H iota. The z/head fold is ONE tiny constant
+    # selection matmul (H, n*H) @ (n*H, E) AFTER summing pairs. No
+    # reshapes of wide intermediates: Mosaic relayouts of
+    # (10,10,E)<->(100,E) were measured at ~7 ms/layer
+    # (tools/rpe_ablate.py); this form has none.
+    pair_idx = _pair_tap_fn(corners_ref, cossin_ref, kxyz_ref, TQ=TQ,
+                            E=E, n=n, log_scale=log_scale,
+                            max_value=max_value, rotate=rotate)
     iotas = _tile_iotas(n, H, E)
-    bias_heads = _bias_tile(corner_idx, tables_ref, iotas, n, H)
+    bias_heads = _bias_tile(pair_idx, tables_ref, iotas, n, H)
     logits = logits + bias_heads.reshape(HTQ, TK)
 
     # streaming softmax update, all H*TQ rows at once
@@ -275,7 +308,7 @@ def _prep_inputs(q, k, corners, angles, key_xyz, key_valid, tables, tq, tk):
         kvalid = jnp.ones((B, 1, nK), jnp.float32)
     else:
         kvalid = key_valid.astype(jnp.float32).reshape(B, 1, nK)
-    tables_in = _flatten_tables(tables)                # (8, n^2, n*H)
+    tables_in = _flatten_tables(tables)                # (4, n^2, 2*n*H)
     return q_t, corners_t, cossin, kxyz_t, kvalid, tables_in, TK, tq, nqt
 
 
@@ -291,6 +324,14 @@ def rpe_cross_attention_pallas(q, k, v, corners, angles, key_xyz, tables,
     q: (B, nQ, H, hd) pre-scaled by hd^-0.5; k, v: (B, nK, hd);
     corners: (B, nQ, 8, 3); angles: (B, nQ); key_xyz: (B, nK, 3);
     tables: (8, n, n, n, H); key_valid: (B, nK) or None.
+
+    CORNER-PAIR CONTRACT: corners i and i+4 must share x and y (the
+    kernel reads the pair's x/y from corner i and only z from corner
+    i+4). Every box-derived corner set satisfies this: the camera-frame
+    sy sign pattern [1,1,1,1,-1,-1,-1,-1] (geometry/boxes.py:75) puts
+    the height axis — lidar z after convert_corners_camera2lidar — on
+    exactly the (i, i+4) split, and neither the roty heading nor the
+    in-kernel object-frame rotation mixes it.
     dropout_rate/seed: deterministic in-kernel attention dropout
     (reference attn_drop); seed is an int32 scalar array.
     Returns (B, nQ, H, hd) float32 (plus blocked (B, nQ/tq, H*tq, 1)
@@ -331,7 +372,8 @@ def rpe_cross_attention_pallas(q, k, v, corners, angles, key_xyz, tables,
             pl.BlockSpec((1, tq, 2), lambda b, iq, ik, *_: (b, iq, 0)),
             pl.BlockSpec((1, 3, TK), lambda b, iq, ik, *_: (b, 0, ik)),
             pl.BlockSpec((1, 1, TK), lambda b, iq, ik, *_: (b, 0, ik)),
-            pl.BlockSpec((8, n * n, n * H), lambda b, iq, ik, *_: (0, 0, 0)),
+            pl.BlockSpec((4, n * n, 2 * n * H),
+                         lambda b, iq, ik, *_: (0, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, H * tq, hd),
@@ -371,11 +413,11 @@ def _recompute_p(seed_ref, q_tile, k_tile, kvalid, corners_ref, cossin_ref,
         q_tile, k_tile, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    corner_idx = _corner_tap_fn(corners_ref, cossin_ref, kxyz_ref, TQ=TQ,
-                                E=E, n=n, log_scale=log_scale,
-                                max_value=max_value, rotate=rotate)
+    pair_idx = _pair_tap_fn(corners_ref, cossin_ref, kxyz_ref, TQ=TQ,
+                            E=E, n=n, log_scale=log_scale,
+                            max_value=max_value, rotate=rotate)
     iotas = _tile_iotas(n, H, E)
-    bias_heads = _bias_tile(corner_idx, tables_ref, iotas, n, H)
+    bias_heads = _bias_tile(pair_idx, tables_ref, iotas, n, H)
     logits = logits + bias_heads.reshape(HTQ, TK)
     l = jnp.where(kvalid > 0, logits, NEG_INF)
     e = jnp.exp(l - lse)                               # (HTQ, TK) sums to 1
@@ -384,22 +426,28 @@ def _recompute_p(seed_ref, q_tile, k_tile, kvalid, corners_ref, cossin_ref,
         g = _dropout_scale(seed_ref, tile_id, (HTQ, TK), dropout_rate)
     else:
         g = None
-    return e, g, corner_idx, iotas
+    return e, g, pair_idx, iotas
 
 
 def _bwd_kernel_a(seed_ref, q_ref, k_ref, v_ref, corners_ref, cossin_ref,
                   kxyz_ref, kvalid_ref, tables_ref, do_ref, lse_ref, dd_ref,
-                  dq_ref, dt_ref, dq_acc,
+                  dq_ref, dt_ref, ds_ref, eg_ref, dq_acc,
                   *, n, H, hd, TQ, TK, log_scale, max_value, rotate,
                   dropout_rate):
-    """Flash backward pass 1: dQ (accumulated over k tiles, grid k-inner)
-    and dTables (accumulated in a VMEM-resident constant output block
-    across the whole grid — the TPU grid is sequential).
+    """Flash backward, SINGLE bias recompute: dQ (accumulated over k
+    tiles, grid k-inner), dTables (accumulated in a VMEM-resident
+    constant output block across the whole grid — the TPU grid is
+    sequential), plus the materialized dlogits (ds) and dropout-scaled
+    probs (eg) tiles. dK/dV then become two plain XLA matmuls over
+    ds/eg outside the kernel — the round-3 second backward kernel
+    rebuilt the full bias a third time (~9 ms/layer) to avoid exactly
+    this 2x(B, H*nQ, nK) f32 HBM round-trip, which costs only ~0.3 ms
+    at 100k-point size.
 
     Gradient notation: e = normalized probs, g = dropout scale, O/dO the
     forward output and its cotangent, D = rowsum(dO * O). Then
     dlogits = e * (g * (dO @ V^T) - D), dQ = dlogits @ K,
-    dBias = dlogits, dTables_c = P_c @ (S^T dBias_heads * hat_w_c)^T.
+    dBias = dlogits, dTables_pair = P_p @ [dv40*hat_z_a; dv40*hat_z_b]^T.
     Corner/angle/key_xyz gradients are NOT produced: the decoder feeds
     stop-gradient boxes (models/transformer.py:539-545,568-573)."""
     b = pl.program_id(0)
@@ -422,7 +470,7 @@ def _bwd_kernel_a(seed_ref, q_ref, k_ref, v_ref, corners_ref, cossin_ref,
     do_tile = do_ref[0, 0]                             # (HTQ, hd)
     lse = lse_ref[0, 0]                                # (HTQ, 1)
     dd = dd_ref[0, 0]                                  # (HTQ, 1)
-    e, g, corner_idx, iotas = _recompute_p(
+    e, g, pair_idx, iotas = _recompute_p(
         seed_ref, q_ref[0, 0], k_tile, kvalid_ref[0], corners_ref,
         cossin_ref, kxyz_ref, tables_ref, lse, (b * nqt + iq) * nk + ik,
         n=n, H=H, TQ=TQ, TK=TK, log_scale=log_scale, max_value=max_value,
@@ -434,83 +482,36 @@ def _bwd_kernel_a(seed_ref, q_ref, k_ref, v_ref, corners_ref, cossin_ref,
     if g is not None:
         dp = dp * g
     ds = e * (dp - dd)                                 # (HTQ, TK)
+    ds_ref[0, 0] = ds
+    eg_ref[0, 0] = e if g is None else e * g
     dq_acc[:, :] = dq_acc[:, :] + jax.lax.dot_general(
         ds, k_tile, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    # dTables: dv40 = S^T @ dBias_heads, per corner dU = dv40 * hat_w,
-    # dT_c += P_c @ dU^T (contract over the E lanes)
+    # dTables: dv40 = S^T @ dBias_heads; per pair dU = the two z-hat
+    # folds stacked on sublanes, dT_p += P_p @ dU^T (contract over E)
     rowa, rowb, roww, S = iotas
     E = TQ * TK
+    nH = n * H
     dbias = ds.reshape(H, E)
     dv40 = jax.lax.dot_general(
         S, dbias, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )                                                  # (n*H, E)
-    for c in range(8):
-        iw, ih, id_ = corner_idx(c)
-        P = _hat(rowa, id_) * _hat(rowb, ih)           # (n^2, E)
-        dU = dv40 * _hat(roww, iw)                     # (n*H, E)
-        dt_ref[c] = dt_ref[c] + jax.lax.dot_general(
+    for p in range(4):
+        ix, iy, iza, izb = pair_idx(p)
+        P = _hat(rowa, iy) * _hat(rowb, ix)            # (n^2, E)
+        dU = jnp.concatenate(
+            [dv40 * _hat(roww, iza), dv40 * _hat(roww, izb)], axis=0
+        )                                              # (2*n*H, E)
+        dt_ref[p] = dt_ref[p] + jax.lax.dot_general(
             P, dU, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )                                              # (n^2, n*H)
+        )                                              # (n^2, 2*n*H)
 
     @pl.when(ik == nk - 1)
     def _():
         dq_ref[0, 0] = dq_acc[:, :]
-
-
-def _bwd_kernel_b(seed_ref, q_ref, k_ref, v_ref, corners_ref, cossin_ref,
-                  kxyz_ref, kvalid_ref, tables_ref, do_ref, lse_ref, dd_ref,
-                  dk_ref, dv_ref, dk_acc, dv_acc,
-                  *, n, H, hd, TQ, TK, log_scale, max_value, rotate,
-                  dropout_rate):
-    """Flash backward pass 2: dK and dV, grid (B, k-tiles, q-tiles) with
-    q innermost so the (TK, hd) accumulators stay resident per k tile.
-    dV = (g*e)^T @ dO, dK = dlogits^T @ Q."""
-    b = pl.program_id(0)
-    ik = pl.program_id(1)
-    iq = pl.program_id(2)
-    nk = pl.num_programs(1)
-    nqt = pl.num_programs(2)
-
-    @pl.when(iq == 0)
-    def _():
-        dk_acc[:, :] = jnp.zeros((TK, hd), jnp.float32)
-        dv_acc[:, :] = jnp.zeros((TK, hd), jnp.float32)
-
-    k_tile = k_ref[0]
-    q_tile = q_ref[0, 0]                               # (HTQ, hd)
-    do_tile = do_ref[0, 0]
-    lse = lse_ref[0, 0]
-    dd = dd_ref[0, 0]
-    e, g, _, _ = _recompute_p(
-        seed_ref, q_tile, k_tile, kvalid_ref[0], corners_ref, cossin_ref,
-        kxyz_ref, tables_ref, lse, (b * nqt + iq) * nk + ik,
-        n=n, H=H, TQ=TQ, TK=TK, log_scale=log_scale, max_value=max_value,
-        rotate=rotate, dropout_rate=dropout_rate)
-    eg = e if g is None else e * g
-    dv_acc[:, :] = dv_acc[:, :] + jax.lax.dot_general(
-        eg, do_tile, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                                  # (TK, hd)
-    dp = jax.lax.dot_general(
-        do_tile, v_ref[0], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    if g is not None:
-        dp = dp * g
-    ds = e * (dp - dd)
-    dk_acc[:, :] = dk_acc[:, :] + jax.lax.dot_general(
-        ds, q_tile, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                                  # (TK, hd)
-
-    @pl.when(iq == nqt - 1)
-    def _():
-        dk_ref[0] = dk_acc[:, :]
-        dv_ref[0] = dv_acc[:, :]
 
 
 def _flash_fwd_impl(q, k, v, corners, angles, key_xyz, tables, key_valid_f,
@@ -525,7 +526,12 @@ def _flash_fwd_impl(q, k, v, corners, angles, key_xyz, tables, key_valid_f,
 def _flash_bwd_impl(q, k, v, corners, angles, key_xyz, tables, key_valid_f,
                     seed, out, lse, g_out, log_scale, max_value, rotate,
                     dropout_rate, tq=32, tk=None, interpret=False):
-    """Launch both backward kernels; returns (dq, dk, dv, dtables)."""
+    """Launch the backward kernel; returns (dq, dk, dv, dtables).
+
+    One Pallas pass produces dQ/dTables and materializes ds (dlogits)
+    and eg (dropout-scaled probs); dK = ds^T @ Q and dV = eg^T @ dO are
+    ordinary XLA batched matmuls (see _bwd_kernel_a docstring for the
+    trade)."""
     B, nQ, H, hd = q.shape
     nK = k.shape[1]
     n = tables.shape[1]
@@ -543,66 +549,49 @@ def _flash_bwd_impl(q, k, v, corners, angles, key_xyz, tables, key_valid_f,
                   max_value=max_value, rotate=rotate,
                   dropout_rate=dropout_rate)
     qspec = pl.BlockSpec((1, 1, H * tq, hd), lambda b, i, j, *_: (b, i, 0, 0))
-    qspec_j = pl.BlockSpec((1, 1, H * tq, hd), lambda b, i, j, *_: (b, j, 0, 0))
     aux = pl.BlockSpec((1, 1, H * tq, 1), lambda b, i, j, *_: (b, i, 0, 0))
-    aux_j = pl.BlockSpec((1, 1, H * tq, 1), lambda b, i, j, *_: (b, j, 0, 0))
     kspec = pl.BlockSpec((1, TK, hd), lambda b, i, j, *_: (b, j, 0))
-    kspec_i = pl.BlockSpec((1, TK, hd), lambda b, i, j, *_: (b, i, 0))
     cspec = pl.BlockSpec((1, tq, 24), lambda b, i, j, *_: (b, i, 0))
-    cspec_j = pl.BlockSpec((1, tq, 24), lambda b, i, j, *_: (b, j, 0))
     aspec = pl.BlockSpec((1, tq, 2), lambda b, i, j, *_: (b, i, 0))
-    aspec_j = pl.BlockSpec((1, tq, 2), lambda b, i, j, *_: (b, j, 0))
     xspec = pl.BlockSpec((1, 3, TK), lambda b, i, j, *_: (b, 0, j))
-    xspec_i = pl.BlockSpec((1, 3, TK), lambda b, i, j, *_: (b, 0, i))
     mspec = pl.BlockSpec((1, 1, TK), lambda b, i, j, *_: (b, 0, j))
-    mspec_i = pl.BlockSpec((1, 1, TK), lambda b, i, j, *_: (b, 0, i))
-    tspec = pl.BlockSpec((8, n * n, n * H), lambda b, i, j, *_: (0, 0, 0))
+    tspec = pl.BlockSpec((4, n * n, 2 * n * H),
+                         lambda b, i, j, *_: (0, 0, 0))
+    pspec = pl.BlockSpec((1, 1, H * tq, TK), lambda b, i, j, *_: (b, i, 0, j))
 
-    dq_t, dtab = pl.pallas_call(
+    dq_t, dtab, ds_t, eg_t = pl.pallas_call(
         functools.partial(_bwd_kernel_a, **common),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(B, nqt, nkt),
             in_specs=[qspec, kspec, kspec, cspec, aspec, xspec, mspec,
                       tspec, qspec, aux, aux],
-            out_specs=[
-                qspec,
-                pl.BlockSpec((8, n * n, n * H), lambda b, i, j, *_: (0, 0, 0)),
-            ],
+            out_specs=[qspec, tspec, pspec, pspec],
             scratch_shapes=[pltpu.VMEM((H * tq, hd), jnp.float32)],
         ),
         out_shape=[
             jax.ShapeDtypeStruct((B, nqt, H * tq, hd), jnp.float32),
-            jax.ShapeDtypeStruct((8, n * n, n * H), jnp.float32),
-        ],
-        interpret=interpret,
-    )(seed, q_t, k, v, corners_t, cossin, kxyz_t, kvalid, tables_in,
-      do_t, lse, dd)
-
-    dk, dv = pl.pallas_call(
-        functools.partial(_bwd_kernel_b, **common),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(B, nkt, nqt),
-            in_specs=[qspec_j, kspec_i, kspec_i, cspec_j, aspec_j, xspec_i,
-                      mspec_i, tspec, qspec_j, aux_j, aux_j],
-            out_specs=[
-                pl.BlockSpec((1, TK, hd), lambda b, i, j, *_: (b, i, 0)),
-                pl.BlockSpec((1, TK, hd), lambda b, i, j, *_: (b, i, 0)),
-            ],
-            scratch_shapes=[pltpu.VMEM((TK, hd), jnp.float32),
-                            pltpu.VMEM((TK, hd), jnp.float32)],
-        ),
-        out_shape=[
-            jax.ShapeDtypeStruct((B, nK, hd), jnp.float32),
-            jax.ShapeDtypeStruct((B, nK, hd), jnp.float32),
+            jax.ShapeDtypeStruct((4, n * n, 2 * n * H), jnp.float32),
+            jax.ShapeDtypeStruct((B, nqt, H * tq, nK), jnp.float32),
+            jax.ShapeDtypeStruct((B, nqt, H * tq, nK), jnp.float32),
         ],
         interpret=interpret,
     )(seed, q_t, k, v, corners_t, cossin, kxyz_t, kvalid, tables_in,
       do_t, lse, dd)
 
     dq = _unblock_q(dq_t, B, nqt, tq, H, hd)
-    dtables = dtab.reshape(tables.shape)
+    dtables = _unflatten_dtables(dtab, n, H)
+    # (B, nqt, H, tq, nK) -> (B, H*nQ rows q-major within head, nK)
+    def _rows(x):
+        return x.reshape(B, nqt, H, tq, nK).transpose(0, 2, 1, 3, 4) \
+                .reshape(B, H, nQ, nK)
+
+    ds_r = _rows(ds_t)
+    eg_r = _rows(eg_t)
+    dk = jnp.einsum("bhqk,bqhd->bkd", ds_r, q,
+                    preferred_element_type=jnp.float32)
+    dv = jnp.einsum("bhqk,bqhd->bkd", eg_r, g_out,
+                    preferred_element_type=jnp.float32)
     return dq, dk, dv, dtables
 
 
