@@ -26,6 +26,11 @@ def make_case(rng, B=2, nQ=16, nK=64, H=4, hd=8, n=10):
     angles = (rng.rand(B, nQ).astype(np.float32) - 0.5) * 2
     key_xyz = rng.rand(B, nK, 3).astype(np.float32) * 4
     tables = rng.randn(8, n, n, n, H).astype(np.float32) * 0.1
+    # guard the contract the kernels rely on (ADVICE r4: a violation
+    # would produce a silently wrong bias, so the harness checks it)
+    from vdetr_tpu.ops.rpe_attention import corner_pair_contract_error
+
+    assert float(corner_pair_contract_error(corners)) < 1e-5
     return (jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
             jnp.asarray(corners.astype(np.float32)), jnp.asarray(angles),
             jnp.asarray(key_xyz), jnp.asarray(tables))

@@ -66,6 +66,22 @@ def test_grid_relabelings_group():
         assert sorted(p[8]) == list(range(8))
 
 
+def test_analytic_me_perm_is_a_grid_relabeling():
+    """The shipped analytic pin (base-k digit reversal: ME enumerates
+    x-fastest, we enumerate z-fastest) must be one of the 48 candidate
+    grid relabelings — specifically the axis swap (z,y,x) with no sign
+    flips — an involution that fixes the center slot."""
+    pinned = ti.KERNEL_OFFSET_PERMUTATION
+    assert pinned is not None and set(pinned) == {27, 8}
+    expect = verify_port.relabeling_perms(axes=(2, 1, 0), signs=(1, 1, 1))
+    for K in (27, 8):
+        p = pinned[K]
+        assert sorted(p) == list(range(K))
+        np.testing.assert_array_equal(p, expect[K])
+        np.testing.assert_array_equal(p[p], np.arange(K))  # involution
+    assert pinned[27][13] == 13
+
+
 def _tiny_model_and_sd():
     cfg = VDETRConfig(**TINY_KW)
     model = build_model(cfg, ScannetDatasetConfig())
@@ -89,6 +105,21 @@ def _tiny_model_and_sd():
 
 
 def test_search_recovers_planted_kernel_order():
+    # Pin the base enumeration mapping to identity (None) for the whole
+    # test: the planted-relabeling algebra below assumes the fabricated
+    # "ME" checkpoint differs from ours ONLY by the planted relabeling.
+    # The shipped default is the analytic digit-reversal pin
+    # (torch_import.KERNEL_OFFSET_PERMUTATION), which would otherwise
+    # compose with the plant in build_reference_state_dict.
+    orig_perm = ti.KERNEL_OFFSET_PERMUTATION
+    ti.KERNEL_OFFSET_PERMUTATION = None
+    try:
+        _planted_kernel_order_body()
+    finally:
+        ti.KERNEL_OFFSET_PERMUTATION = orig_perm
+
+
+def _planted_kernel_order_body():
     cfg, model, inputs, params, stats, sd = _tiny_model_and_sd()
     fwd = jax.jit(lambda v: model.apply(v, inputs, train=False))
     # rank by the enc point-cls logits: the head directly on backbone

@@ -179,6 +179,13 @@ class VDETRConfig:
                                       # (trilinear_sample_matmul).
                                       # "materialized" forces the scan
                                       # everywhere.
+                                      # HBM note: the fused training
+                                      # backward stages two
+                                      # (B, H, nQ, nK) f32 tensors in
+                                      # HBM (~128 MB at B=1 published
+                                      # size, linear in B and nK);
+                                      # budget ~8*B*H*nQ*nK bytes when
+                                      # raising batch or key count.
     matcher_impl: str = "auction"     # "auction" (eps-optimal, fast on TPU)
                                       # | "jv" (exact Jonker-Volgenant)
     compute_dtype: str = "float32"    # "float32" | "bfloat16" matmul dtype

@@ -224,6 +224,24 @@ class GlobalShareCrossAttention(nn.Module):
     compute_dtype: Optional[Any] = None
     seq_axis: Optional[str] = None  # keys sharded across this mesh axis
 
+    @staticmethod
+    def will_fuse(impl, seq_axis, n_queries, n_keys) -> bool:
+        """True iff __call__ will take the fused flash-RPE Pallas path.
+
+        The decoder's remat decision keys off the SAME predicate: the
+        fused path needs no layer remat (its backward recomputes the
+        bias in-kernel and stores only q/k/v/lse), while every fallback
+        (seq-sharded, misaligned shapes, CPU) materializes the
+        (B, H, nQ, nK) bias and must remat. Keeping one predicate stops
+        the two decisions drifting apart (ADVICE r4 medium)."""
+        import jax as _jax
+
+        return (impl == "fused"
+                and seq_axis is None
+                and n_keys % 128 == 0
+                and n_queries % 32 == 0
+                and _jax.default_backend() in ("tpu", "axon"))
+
     def rpe_tables(self):
         """Evaluate the 8 corner tables: (8, n, n, n, H)."""
         _, max_value, num_points = self.rpe_quant.split("_")
@@ -259,13 +277,7 @@ class GlobalShareCrossAttention(nn.Module):
         # and attention dropout runs in-kernel with a deterministic
         # per-tile PRNG shared between forward and backward.
         dropout_active = train and self.dropout > 0
-        use_fused = (
-            self.impl == "fused"
-            and self.seq_axis is None
-            and nK % 128 == 0
-            and nQ % 32 == 0
-            and jax.default_backend() in ("tpu", "axon")
-        )
+        use_fused = self.will_fuse(self.impl, self.seq_axis, nQ, nK)
         if use_fused:
             kv_mask = (jnp.ones((B, nK), jnp.float32) if key_valid is None
                        else key_valid.astype(jnp.float32))
@@ -571,8 +583,14 @@ class TransformerDecoder(nn.Module):
             # per layer) and its backward recomputes the bias in-kernel
             # already — wrapping it in remat would re-run the ~11 ms
             # flash forward once more per layer for nothing (measured
-            # 38.8 -> ~27 ms/layer, tools/dec_bisect.py round 4)
-            if c.rpe_impl == "fused":
+            # 38.8 -> ~27 ms/layer, tools/dec_bisect.py round 4).
+            # Gate on the EXACT fused-path predicate (not just the
+            # config flag): a seq-sharded or shape-misaligned config
+            # falls back to the materialized bias and must remat
+            # (ADVICE r4 medium).
+            if GlobalShareCrossAttention.will_fuse(
+                    c.rpe_impl, c.seq_axis, output.shape[1],
+                    enc_features.shape[1]):
                 layer_cls = GlobalDecoderLayer
             else:
                 layer_cls = nn.remat(GlobalDecoderLayer, static_argnums=(9,))

@@ -29,6 +29,7 @@ own (dropout-capable) materialized path based on cfg.rpe_impl.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -312,6 +313,30 @@ def _prep_inputs(q, k, corners, angles, key_xyz, key_valid, tables, tq, tk):
     return q_t, corners_t, cossin, kxyz_t, kvalid, tables_in, TK, tq, nqt
 
 
+def corner_pair_contract_error(corners):
+    """Max |x/y mismatch| between corners i and i+4 (ADVICE r4: the
+    fused kernels read the pair's x/y from corner i and only z from
+    corner i+4; any caller passing general corners gets a silently
+    wrong bias). Returns a scalar; 0 for every box-derived corner set.
+    Checked eagerly on concrete inputs when VDETR_VALIDATE_CORNERS=1,
+    and by the reference-parity test harness."""
+    c = jnp.asarray(corners)
+    return jnp.abs(c[..., :4, :2] - c[..., 4:, :2]).max()
+
+
+def _maybe_validate_corners(corners):
+    if os.environ.get("VDETR_VALIDATE_CORNERS") != "1":
+        return
+    if isinstance(corners, jax.core.Tracer):
+        return  # cannot inspect values under trace; use the test harness
+    err = float(corner_pair_contract_error(corners))
+    if err > 1e-3:
+        raise ValueError(
+            f"corner-pair contract violated: max |xy(c_i) - xy(c_i+4)| = "
+            f"{err:.2e} (fused RPE kernels require corners i and i+4 to "
+            f"share x/y; see rpe_cross_attention_pallas docstring)")
+
+
 def rpe_cross_attention_pallas(q, k, v, corners, angles, key_xyz, tables,
                                key_valid=None, *, log_scale: float,
                                max_value: float, rotate: bool = False,
@@ -344,6 +369,7 @@ def rpe_cross_attention_pallas(q, k, v, corners, angles, key_xyz, tables,
     Constraints: nK % tk == 0, nQ % tq == 0. VMEM high-water per tile is
     dominated by the (n^2, tq*tk) weight matrix (~2 MB at the defaults).
     """
+    _maybe_validate_corners(corners)
     B, nQ, H, hd = q.shape
     nK = k.shape[1]
     n = tables.shape[1]
@@ -611,6 +637,10 @@ def rpe_cross_attention_flash(q, k, v, corners, angles, key_xyz, tables,
     flow through box corners is required; use rpe_cross_attention
     (reference-path VJP) instead.
 
+    CORNER-PAIR CONTRACT (see rpe_cross_attention_pallas): corners i
+    and i+4 must share x/y — holds for every box-derived corner set;
+    validate with corner_pair_contract_error for anything else.
+
     seed: int32 scalar array; vary per step for fresh dropout masks.
     """
     out, _ = _flash_fwd_impl(q, k, v, corners, angles, key_xyz, tables,
@@ -650,7 +680,11 @@ def rpe_cross_attention(q, k, v, corners, angles, key_xyz, tables,
     VJP (the backward recomputes the materialized bias and differentiates
     it — the same cost the rematerialized training path already pays,
     while the forward gets the kernel). key_valid_f: (B, nK) float mask
-    (1 = valid); use `jnp.ones` for no masking."""
+    (1 = valid); use `jnp.ones` for no masking.
+
+    CORNER-PAIR CONTRACT (see rpe_cross_attention_pallas): corners i
+    and i+4 must share x/y — holds for every box-derived corner set;
+    validate with corner_pair_contract_error for anything else."""
     return rpe_cross_attention_pallas(
         q, k, v, corners, angles, key_xyz, tables, key_valid_f > 0.5,
         log_scale=log_scale, max_value=max_value, rotate=rotate,

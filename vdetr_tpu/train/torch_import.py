@@ -29,26 +29,60 @@ import numpy as np
 
 from vdetr_tpu.config import VDETRConfig
 
-# Hook for ME kernel-offset order differences (identity = same order).
-# Keyed by kernel volume: 27 for the 3^3 convs, 8 for the 2^3 FPN
-# transpose convs (both enumerations share the same axis-order/sign
-# ambiguity; tools/verify_port.py derives the pair from one relabeling
-# and can search all 48 candidates against golden reference outputs).
+# ME kernel-offset order mapping. Keyed by kernel volume: 27 for the
+# 3^3 convs, 8 for the 2^3 FPN transpose convs. Applied as
+# k_ours = k_torch[perm], i.e. perm[our_index] = ME index of the SAME
+# geometric offset.
 #
-# STATUS (round 3): None remains an ASSUMPTION — MinkowskiEngine is not
-# installable in this environment (no pip, no egress), so the z-fastest
-# enumeration (ops/sparse_conv._offsets) has not been calibrated against
-# real ME outputs. The ambiguity is however now ISOLATED to the backbone
-# conv kernels only: every module downstream of the backbone (RPE
-# cross-attention incl. object_coords rotation, ShareSelfAttention,
-# PositionEmbeddingLearned, the full GlobalDecoderLayer) is verified
-# numerically against the reference's own torch code with ported weights
-# (tests/test_reference_module_parity.py). To pin this before trusting a
-# ported .pth end-to-end, run `tools/verify_port.py verify --search-perm`
-# against a golden generated in an ME-capable environment
-# (tools/reference_golden.py) — the 48-candidate search covers every
-# axis-order/sign relabeling of the hypercube offsets.
-KERNEL_OFFSET_PERMUTATION: Optional[Dict[int, np.ndarray]] = None
+# STATUS (round 5): pinned ANALYTICALLY from MinkowskiEngine's public
+# kernel-region enumeration (src/kernel_region.hpp in ME 0.5.x, the
+# version the reference pins):
+#
+#   * `kernel_region::coordinate_at(index, dst)` decodes a kernel index
+#     by `dst[axis+1] = lower[axis+1] + (index % size[axis]) * dilation`
+#     with the axis loop ASCENDING and `index /= size[axis]` each step,
+#     and the region iterator's operator++ advances the same way (first
+#     spatial axis first, carry to the next on overflow). Coordinates
+#     in ME are (batch, x, y, z), so the FIRST spatial coordinate (x)
+#     varies FASTEST: ME index m = ix + 3*iy + 9*iz for kernel 3.
+#   * Each axis is enumerated lower→upper: offsets -r..r for odd
+#     kernels (lower = -(k-1)/2 * dilation) and 0..k-1 for even kernels
+#     (integer division makes the even-kernel region one-sided — ME's
+#     documented asymmetric even-kernel behavior). No sign flips.
+#   * Weight slot 0 therefore multiplies the input at offset
+#     (-r,-r,-r), exactly as in torch's cross-correlation Conv3d — the
+#     same input-gather convention as ops/sparse_conv._gather_matmul,
+#     so enumeration order is the ONLY difference.
+#
+# Our enumeration (ops/sparse_conv._offsets and the transpose-conv slot
+# k = (ix*2+iy)*2+iz) is z-fastest over the same offset sets, so the
+# mapping is the base-k 3-digit REVERSAL (an involution):
+# perm[ix*k^2 + iy*k + iz] = iz*k^2 + iy*k + ix.
+#
+# Empirical backstop (the analytic pin's failure mode is ME changing
+# enumeration between versions): `tools/verify_port.py verify
+# --search-perm` searches all 48 axis-order/sign relabelings against a
+# golden generated in an ME-capable environment
+# (tools/reference_golden.py); every module downstream of the backbone
+# is already verified numerically against the reference's own torch
+# code (tests/test_reference_module_parity.py).
+
+
+def _digit_reversal_perm(kernel_size: int) -> np.ndarray:
+    """perm[our z-fastest index] = ME x-fastest index, same offset."""
+    k = kernel_size
+    perm = np.empty(k ** 3, np.int64)
+    for ix in range(k):
+        for iy in range(k):
+            for iz in range(k):
+                perm[(ix * k + iy) * k + iz] = (iz * k + iy) * k + ix
+    return perm
+
+
+KERNEL_OFFSET_PERMUTATION: Optional[Dict[int, np.ndarray]] = {
+    27: _digit_reversal_perm(3),
+    8: _digit_reversal_perm(2),
+}
 
 
 def _offset_perm(k: np.ndarray) -> Optional[np.ndarray]:
