@@ -101,8 +101,8 @@ def main():
     rng = np.random.RandomState(0)
     ds = ScannetDatasetConfig()
 
-    def make_inputs():
-        pts = rng.rand(batch, N, 3).astype(np.float32) * np.array(
+    def make_inputs(b=1):
+        pts = rng.rand(b, N, 3).astype(np.float32) * np.array(
             [6.0, 5.0, 2.8], np.float32
         )
         return {
@@ -120,15 +120,53 @@ def main():
     _sync(variables)
     detail["init_s"] = round(time.time() - t0, 1)
 
-    # ---- primary: eval forward ----
+    # ---- primary: eval forward (best over batch sizes; the metric is
+    # scenes/sec/chip, and batching amortizes per-dispatch overheads) ----
     fwd = jax.jit(lambda v, i: model.apply(v, i, train=False))
     t0 = time.time()
     _sync(fwd(variables, inputs))
     detail["compile_s"] = round(time.time() - t0, 1)
-    input_sets = [(variables, make_inputs()) for _ in range(iters)]
-    dt = _bench(fwd, input_sets, iters)
-    scenes_per_sec = batch / dt
-    detail["step_ms"] = round(dt * 1000, 2)
+    scenes_per_sec = 0.0
+    detail["eval_by_batch"] = {}
+    for b, b_iters in ([(1, iters), (4, max(iters // 3, 2)),
+                        (8, max(iters // 4, 2))] if on_tpu
+                       else [(1, iters)]):
+        try:
+            input_sets = [(variables, make_inputs(b))
+                          for _ in range(min(b_iters, 8))]
+            dt = _bench(fwd, input_sets, b_iters)
+            sps = b / dt
+            detail["eval_by_batch"][str(b)] = {
+                "step_ms": round(dt * 1000, 2),
+                "scenes_per_sec": round(sps, 3)}
+            if b == 1:
+                detail["step_ms"] = round(dt * 1000, 2)
+            if sps > scenes_per_sec:
+                scenes_per_sec = sps
+                batch = b
+        except Exception as e:  # noqa: BLE001 - report, keep going
+            detail["eval_by_batch"][str(b)] = (
+                f"{type(e).__name__}: {str(e).splitlines()[0][:160]}")
+            traceback.print_exc(file=sys.stderr)
+    detail["batch"] = batch
+
+    # ---- analytic useful FLOPs -> achieved TFLOP/s + MFU lower bound ----
+    try:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from tools.flops import analytic_eval_flops
+
+        fl = analytic_eval_flops(cfg, inputs)
+        tflops = fl["total_gflop"] / 1e3 * scenes_per_sec
+        detail["model_gflop_per_scene"] = fl["total_gflop"]
+        detail["flop_breakdown_gflop"] = fl["breakdown"]
+        detail["achieved_tflops"] = round(tflops, 2)
+        # v5e bf16 MXU peak 197 TFLOP/s; useful-FLOP MFU is a LOWER
+        # bound (the keyed convs + matmul-form RPE deliberately execute
+        # extra MXU work for memory locality; see tools/flops.py)
+        detail["mfu_useful_lower_bound"] = round(tflops / 197.0, 4)
+    except Exception as e:  # noqa: BLE001
+        detail["flops_error"] = (
+            f"{type(e).__name__}: {str(e).splitlines()[0][:160]}")
 
     # ---- train step (VERDICT round-1 item 1: a train metric in BENCH) ----
     try:
@@ -138,9 +176,14 @@ def main():
 
         mesh = make_mesh(("data",), (1,), devices=jax.devices()[:1])
         tmodel = build_model(cfg, ds, axis_name="data")
-        data = SyntheticDetectionDataset(ds, num_points=N, num_scenes=2,
+        # rotate DISTINCT scenes through the timed loop: auction-matcher
+        # iteration count depends on proposal ties, so feeding one scene
+        # repeatedly can misstate the steady-state step cost
+        data = SyntheticDetectionDataset(ds, num_points=N, num_scenes=4,
                                          max_objects=12)
-        tbatch = {k: jnp.asarray(v) for k, v in collate([data[0]]).items()}
+        tbatches = [{k: jnp.asarray(v) for k, v in collate([data[i]]).items()}
+                    for i in range(4)]
+        tbatch = tbatches[0]
         trainer = Trainer(cfg, tmodel, ds, mesh, steps_per_epoch=1000)
         state = trainer.init_state(jax.random.PRNGKey(0), tbatch)
         rngk = jax.random.PRNGKey(1)
@@ -157,13 +200,14 @@ def main():
         # steady-state cost, matching tools/train_bench.py.
         for i in range(3):
             state, loss, _ = trainer.train_step(
-                state, tbatch, jax.random.fold_in(rngk, 1000 + i),
-                retries=0)
+                state, tbatches[i % len(tbatches)],
+                jax.random.fold_in(rngk, 1000 + i), retries=0)
         float(loss)
         t0 = time.time()
         for i in range(train_iters):
             state, loss, _ = trainer.train_step(
-                state, tbatch, jax.random.fold_in(rngk, i), retries=0
+                state, tbatches[i % len(tbatches)],
+                jax.random.fold_in(rngk, i), retries=0
             )
         loss_final = float(loss)  # drains the serialized step queue
         tdt = (time.time() - t0) / train_iters

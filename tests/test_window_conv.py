@@ -234,6 +234,43 @@ def test_keyed_stem_small_cin():
         assert a.shape == b.shape
 
 
+def test_keyed_conv_cin_split_512():
+    """512x512 weights exceed WEIGHT_VMEM_CAP: keyed_conv splits the
+    contraction over C_in (two 256-half passes). Forward + grads through
+    the sparse_conv dispatch (fwdk: keyed forward, lazily-mapped XLA
+    backward) must match the XLA gather path (round 5, VERDICT item 2)."""
+    rng = np.random.RandomState(11)
+    grid = _grid(rng, V=256)
+    C = Co = 512
+    assert skc.keyed_fwd_ok(C, Co)  # admitted via the internal halving
+    # needs halving but c_in not 128-divisible: rejected
+    assert not skc.keyed_fwd_ok(192, 1024)
+    feats = jnp.asarray(rng.randn(1, 256, C).astype(np.float32) * 0.1)
+    grid = grid.replace(features=feats * grid.valid[..., None])
+    w = jnp.asarray(rng.randn(27, C, Co).astype(np.float32) * 0.02)
+    g_plain = sc.attach_kernel_map(grid)
+    g_win = sc.attach_kernel_map(grid, window_interpret=True)
+    assert g_win.wk_qkey is not None and not bool(
+        np.asarray(g_win.win_ovf).any())
+
+    def loss(base, w_, f_):
+        out = sc.sparse_conv(base.replace(features=f_), w_).features
+        return (out * jnp.cos(out)).sum(), out
+
+    (_, ref), gref = jax.value_and_grad(loss, argnums=(1, 2),
+                                        has_aux=True)(
+        g_plain, w, g_plain.features)
+    (_, got), ggot = jax.value_and_grad(loss, argnums=(1, 2),
+                                        has_aux=True)(
+        g_win, w, g_win.features)
+    r, g = np.asarray(ref), np.asarray(got)
+    assert np.abs(r - g).max() / np.abs(r).max() < 2e-2
+    for name, a, b in zip(("dW", "dFeats"), gref, ggot):
+        a, b = np.asarray(a), np.asarray(b)
+        err = np.abs(a - b).max() / max(1e-6, np.abs(a).max())
+        assert err < 2e-2, (name, err)
+
+
 def test_miss_rows_contribute_zero():
     """All-miss sites (isolated voxels far apart) produce the center-tap
     result only."""

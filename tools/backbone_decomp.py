@@ -73,16 +73,26 @@ def main():
     vs = jax.jit(lambda g: model.init(jax.random.PRNGKey(0), g))(grid)
     fence(jax.tree.leaves(vs)[0])
 
-    def run_to(g, depth):
-        outs = model.apply(vs, g)
-        return outs[depth - 1].features.sum()
-
     prev = t_vox
     # stage-by-stage via num_stages variants would re-init params;
     # instead time the full backbone and per-level overflow flags
     full = jax.jit(lambda g: [o.features.sum() for o in model.apply(vs, g)])
     t_bb = bench(full, grid)
     print(f"backbone (stem+4 layers): {t_bb:.1f} ms", flush=True)
+
+    # per-stage attribution: time prefixes (XLA DCE prunes the unused
+    # deeper stages since only outs[k] is consumed), diff consecutive
+    # prefixes. Prefix 0 = stem only (outs[0] depends on stem + layer1;
+    # to isolate the stem, sum the stem grid's features via num_stages=0
+    # is not expressible — report prefixes instead).
+    prev_t = 0.0
+    for k in range(4):
+        pref = jax.jit(
+            lambda g, k=k: model.apply(vs, g)[k].features.sum())
+        t_k = bench(pref, grid)
+        print(f"  prefix stem..layer{k + 1}: {t_k:.1f} ms "
+              f"(layer{k + 1} ~= {t_k - prev_t:+.1f} ms)", flush=True)
+        prev_t = t_k
 
     # per-level overflow flags
     outs = model.apply(vs, grid)
