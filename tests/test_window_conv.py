@@ -236,13 +236,19 @@ def test_keyed_stem_small_cin():
 
 def test_keyed_conv_cin_split_512():
     """512x512 weights exceed WEIGHT_VMEM_CAP: keyed_conv splits the
-    contraction over C_in (two 256-half passes). Forward + grads through
-    the sparse_conv dispatch (fwdk: keyed forward, lazily-mapped XLA
-    backward) must match the XLA gather path (round 5, VERDICT item 2)."""
+    contraction over C_in (two 256-half passes). Since round 5 the
+    submanifold 512s also pass keyed_bwd_ok, so sparse_conv dispatches
+    them to keyed_conv_ad — flipped-weights keyed dFeats (with fix-up
+    mirror) + the GROUP-SPLIT dW kernel (27*512*512*4 = 28 MB exceeds
+    DW_SCRATCH_CAP, so the accumulator blocks to (3, C, Co) over a
+    9-step outer grid). Forward + both grads through the sparse_conv
+    dispatch must match the XLA gather path (VERDICT items 2 + 4)."""
     rng = np.random.RandomState(11)
     grid = _grid(rng, V=256)
     C = Co = 512
     assert skc.keyed_fwd_ok(C, Co)  # admitted via the internal halving
+    assert skc.keyed_bwd_ok(C, Co)  # fully keyed backward (ad path)
+    assert 27 * C * Co * 4 > skc.DW_SCRATCH_CAP  # dW takes group split
     # needs halving but c_in not 128-divisible: rejected
     assert not skc.keyed_fwd_ok(192, 1024)
     feats = jnp.asarray(rng.randn(1, 256, C).astype(np.float32) * 0.1)

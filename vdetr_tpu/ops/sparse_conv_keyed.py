@@ -248,10 +248,69 @@ def _keyed_dw_kernel(sh_ref, tab_ref, qk_ref, mask_ref, dout_ref, *refs):
             )
 
 
+def _keyed_dw_kernel_g(sh_ref, tab_ref, qk_ref, mask_ref, dout_ref, *refs):
+    """Group-split weight gradient: grid (9, B, nt), one offset GROUP per
+    outer step. The dw block is (3, C, Co) — 3 MB f32 at 512x512 vs the
+    28 MB full-tensor scratch — revisited contiguously over the inner
+    (B, nt) sweep so accumulation stays in VMEM per group. Window refs
+    are the 4 blocks of THIS group only (index maps take the g grid
+    index); total window DMA across the grid equals the fused kernel's
+    36-per-(b,t)."""
+    wins = refs[:_NW]
+    dw_ref = refs[_NW]
+    g = pl.program_id(0)
+    b = pl.program_id(1)
+    t = pl.program_id(2)
+    stride = _GROUPS * _PAIRS
+    T = qk_ref.shape[2]
+    first = (b == 0) & (t == 0)
+
+    @pl.when(first)
+    def _init():
+        dw_ref[...] = jnp.zeros(dw_ref.shape, dw_ref.dtype)
+
+    qk = qk_ref[0, 0, :][:, None]
+    mask = mask_ref[0, 0, :][:, None]
+    dout = dout_ref[0].astype(jnp.bfloat16)
+    bA = sh_ref[b, 9 + t * stride + g * _PAIRS]
+    bB = sh_ref[b, 9 + t * stride + g * _PAIRS + 1]
+    q = qk + sh_ref[b, g]
+    rows = [tab_ref[0, pl.ds(bA, 1), :], tab_ref[0, pl.ds(bA + 1, 1), :],
+            tab_ref[0, pl.ds(bB, 1), :], tab_ref[0, pl.ds(bB + 1, 1), :]]
+    win = jnp.concatenate(
+        [wins[j][0] for j in range(_NW)], axis=0
+    ).astype(jnp.bfloat16)
+    parts = []
+    for e in range(_W):
+        vb = ((mask >> (g * _W + e)) & 1) > 0
+        qe = q + (e - 1)
+        s_e = jnp.concatenate(
+            [(row == qe) for row in rows], axis=1)
+        parts.append(s_e & vb)
+    s = jnp.concatenate(parts, axis=0).astype(jnp.bfloat16)
+    x = jax.lax.dot_general(
+        s, win, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.bfloat16)
+    for e in range(_W):
+        dw_ref[e] += jax.lax.dot_general(
+            x[e * T:(e + 1) * T], dout, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+
 def _win_index_map(g, pair, off):
     stride = _GROUPS * _PAIRS
 
     def index_map(bi, t, sh_s):
+        return (bi, sh_s[bi, 9 + t * stride + g * _PAIRS + pair] + off, 0)
+    return index_map
+
+
+def _win_index_map_g(pair, off):
+    stride = _GROUPS * _PAIRS
+
+    def index_map(g, bi, t, sh_s):
         return (bi, sh_s[bi, 9 + t * stride + g * _PAIRS + pair] + off, 0)
     return index_map
 
@@ -290,6 +349,21 @@ def keyed_fwd_ok(c_in: int, c_out: int) -> bool:
             return False
         c_in //= 2
     return True
+
+
+# Past this the FULL-tensor dW accumulator (27*C*Co*4) is group-split
+# into (3, C, Co) blocks over a 9-step outer grid dimension.
+DW_SCRATCH_CAP = 8 * 1024 * 1024
+
+
+def keyed_bwd_ok(c_in: int, c_out: int) -> bool:
+    """True when a SUBMANIFOLD conv at these widths can take the fully
+    keyed backward (keyed_conv_ad): forward kernel admissible, the
+    flipped-weights dFeats replay admissible (c_out -> c_in), and the
+    group-split dW block fits VMEM. Covers the stage-4 512x512 convs
+    (round 5): their backward no longer rebuilds any kernel map."""
+    return (keyed_fwd_ok(c_in, c_out) and keyed_fwd_ok(c_out, c_in)
+            and 3 * c_in * c_out * 4 <= DW_SCRATCH_CAP)
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "wb", "interpret"))
@@ -379,6 +453,38 @@ def keyed_conv_dw(feats, in_keys, qkeym, mask, blk, shifts, dout,
     sh = jnp.concatenate(
         [jnp.broadcast_to(shifts.astype(jnp.int32)[None], (B, 9)), blk],
         axis=1)
+
+    if 27 * C * Co * 4 > DW_SCRATCH_CAP:
+        # group-split accumulator: grid (9, B, nt), dw block (3, C, Co)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(_GROUPS, B, nt),
+            in_specs=[
+                pl.BlockSpec((1, n_rows, wb),
+                             lambda g, bi, t, sh_s: (bi, 0, 0)),
+                pl.BlockSpec((1, 1, tile),
+                             lambda g, bi, t, sh_s: (bi, 0, t)),
+                pl.BlockSpec((1, 1, tile),
+                             lambda g, bi, t, sh_s: (bi, 0, t)),
+                pl.BlockSpec((1, tile, Co),
+                             lambda g, bi, t, sh_s: (bi, t, 0)),
+                *[pl.BlockSpec((1, wb, C), _win_index_map_g(pair, off))
+                  for pair in range(_PAIRS) for off in range(2)],
+            ],
+            out_specs=pl.BlockSpec((3, C, Co),
+                                   lambda g, bi, t, sh_s: (g, 0, 0)),
+        )
+        return pl.pallas_call(
+            _keyed_dw_kernel_g,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((27, C, Co), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary",
+                                     "arbitrary"),
+            ),
+            interpret=interpret,
+        )(sh, keys_p, qkeym.reshape(B, 1, V), mask.reshape(B, 1, V),
+          dout, *([feats_p] * _NW))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
