@@ -180,23 +180,39 @@ def run_checks():
         results["conv_bwd_relerr"] = errs
 
         # C_in-split path (512x512 > WEIGHT_VMEM_CAP): compiled forward
-        # of two 256-half passes vs the XLA gather conv
+        # of two 256-half passes vs the XLA gather conv, PLUS the fully
+        # keyed 512 backward (flipped dFeats replay + GROUP-SPLIT dW
+        # accumulator, round 5) vs the gather path's grads
         C5 = 512
         f5 = jnp.asarray(rng.randn(1, Vc, C5).astype(np.float32) * 0.1)
         g5 = g_win.replace(features=f5 * grid.valid[..., None])
         w5 = jnp.asarray(rng.randn(27, C5, C5).astype(np.float32) * 0.02)
-        got5 = np.asarray(jax.jit(
-            lambda g, ww: sc.sparse_conv(g, ww).features)(g5, w5))
-        ref5 = np.asarray(jax.jit(
-            lambda g, ww: sc.sparse_conv(g, ww).features)(
+
+        def run_path5(base, ww):
+            (_, out), grads = jax.jit(
+                jax.value_and_grad(loss_conv, argnums=(1, 2),
+                                   has_aux=True)
+            )(base, ww, base.features)
+            return np.asarray(out), [np.asarray(g) for g in grads]
+
+        got5, got5_g = run_path5(g5, w5)
+        ref5, ref5_g = run_path5(
             g_plain.replace(features=g5.features, wk_qkey=None,
                             wk_mask=None, win_blk=None, win_ovf=None,
                             fix_rows=None, fix_nbr=None,
-                            wk_lazy_nbr=None, win_geom=None), w5))
+                            wk_lazy_nbr=None, win_geom=None), w5)
         e5 = float(np.abs(ref5 - got5).max() / max(1e-6,
                                                    np.abs(ref5).max()))
         results["conv_split_parity"] = bool(e5 < 2e-2)
         results["conv_split_relerr"] = round(e5, 5)
+        errs5 = {}
+        ok5 = True
+        for name, a, b in zip(("dw", "dfeats"), ref5_g, got5_g):
+            eg = float(np.abs(a - b).max() / max(1e-6, np.abs(a).max()))
+            errs5[name] = round(eg, 5)
+            ok5 = ok5 and eg < 2e-2
+        results["conv_split_bwd_parity"] = bool(ok5)
+        results["conv_split_bwd_relerr"] = errs5
     except Exception as e:  # noqa: BLE001
         results["conv_fwd_parity"] = f"ERROR: {str(e).splitlines()[0][:120]}"
 

@@ -177,6 +177,15 @@ class VDETRConfig:
                                       # non-TPU backends use the
                                       # "materialized" XLA bias scan
                                       # (trilinear_sample_matmul).
+                                      # HBM note: the fused-path backward
+                                      # materializes two
+                                      # (B, H*nQ, nK) f32 tensors (ds/eg,
+                                      # ops/rpe_attention.py:_bwd_kernel_a)
+                                      # = 2*B*8*1024*nK*4 bytes per layer
+                                      # backward — ~128 MB at B=1/nK=2048,
+                                      # linear in B and nK; budget for it
+                                      # before raising either at train
+                                      # time.
                                       # "materialized" forces the scan
                                       # everywhere.
                                       # HBM note: the fused training
