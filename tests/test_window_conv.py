@@ -129,24 +129,32 @@ def test_fixup_path_grads_match_xla():
         assert err < 2e-2, (name, err)
 
 
-def test_detect_bad_rows_matches_map_kernel():
-    """The XLA gap predicate must flag exactly the rows the windowed map
-    kernel reports undecidable (same anchors, same windows)."""
-    from vdetr_tpu.ops import map_kernel as mk
-    from vdetr_tpu.ops.voxelize import KEY_SENTINEL, pack_keys
-
+def test_bad_rows_complement_is_exact_without_fixup():
+    """The contract behind detect_bad_rows: every valid row NOT flagged
+    bad is computed correctly by the RAW keyed kernel (no fix-up
+    applied) — the flagged rows are the only ones fix-up may repair.
+    This pins the XLA gap predicate to the kernel's actual block
+    coverage ([bA..bA+1] + the conditional high pair bounded by hb)."""
+    rng = np.random.RandomState(5)
     grid = _comb_wall_grid()
     V = grid.keys.shape[1]
     assert V % 128 == 0
+    C = Co = 64
+    feats = jnp.asarray(rng.randn(1, V, C).astype(np.float32))
+    grid = grid.replace(features=feats * grid.valid[..., None])
+    w = jnp.asarray(rng.randn(27, C, Co).astype(np.float32) * 0.1)
     tile = wb = 128
     k, q0, v = grid.keys[0], grid.coords[0], grid.valid[0]
     geom = skc.conv_window_geometry(k, q0, v, grid.extent, tile, wb)
-    shifts = jnp.asarray(mk._group_shifts(grid.extent), jnp.int32)
-    _, bad_k = mk.window_map(k[None], geom["qkeym"][None],
-                             geom["mask"][None], geom["blk"][None],
-                             shifts, tile=tile, wb=wb, interpret=True)
-    np.testing.assert_array_equal(np.asarray(geom["bad"]),
-                                  np.asarray(bad_k[0]))
+    assert bool(np.asarray(geom["bad"]).any())  # layout exercises gaps
+    shifts = jnp.asarray(skc._group_shifts(grid.extent), jnp.int32)
+    raw = skc.keyed_conv(grid.features, k[None], geom["qkeym"][None],
+                         geom["mask"][None], geom["blk"][None], shifts,
+                         w, tile=tile, wb=wb, interpret=True)
+    ref = sc.sparse_conv(sc.attach_kernel_map(grid), w).features
+    ok = np.asarray(v) & ~np.asarray(geom["bad"])
+    r, g = np.asarray(ref)[0][ok], np.asarray(raw)[0][ok]
+    assert np.abs(r - g).max() / max(1e-6, np.abs(r).max()) < 2e-2
 
 
 def test_flipped_weights_identity():

@@ -23,7 +23,9 @@ MinkowskiEngine submanifold / strided convolution kernel maps
 (models/mink_resnet.py via ME's coordinate manager).
 
 Exactness: identical contract to the mapped kernel. Window anchors come
-from `map_kernel.build_anchors` (rank lookups over 18*nt values); rows
+from `_build_anchors_hb` (rank lookups over 18*nt values, recorded as
+[bA, bB, hb] per (tile, group) — hb bounds the highest block any match
+can live in, so the kernel skips selection matmuls block-by-block); rows
 whose match could live in the uncovered rank gap between the two window
 pairs are detected EXACTLY in XLA (`detect_bad_rows` replicates the
 kernel's gap predicate) and patched by a compacted z-run lookup
@@ -53,20 +55,66 @@ from vdetr_tpu.ops.map_kernel import (
     _BIGQ,
     _group_shifts,
     _group_valid,
-    build_anchors,
     offset_validity_mask,
 )
-from vdetr_tpu.ops.voxelize import KEY_SENTINEL, pack_keys
+from vdetr_tpu.ops.voxelize import KEY_SENTINEL, lookup_rank, pack_keys
 
 _GROUPS = 9
 _W = 3
 _PAIRS = 2
 _NW = 2 * _PAIRS  # window blocks per (tile, group): [bA, bA+1, bB, bB+1]
+# per-(tile, group) anchor record: [bA, bB, hb] (see _build_anchors_hb)
+_REC = 3
+_STRIDE = _GROUPS * _REC
 
 
 # ---------------------------------------------------------------------------
 # XLA-side geometry: anchors, bad-row detection, fix-up plan
 # ---------------------------------------------------------------------------
+
+def _build_anchors_hb(in_keys, qkeym, gvalid, extent, v_in: int,
+                      tile: int, wb: int):
+    """Per-(tile, group) anchor records [bA, bB, hb] (flat (nt*27,)).
+
+    Like map_kernel.build_anchors but block-granular (round 5): `hb` is
+    the HIGHEST wb-block any match for this (tile, group) can live in
+    (block of the left-rank of the max query — a match equal to the max
+    query sits AT that rank; -1 when the group has no valid query),
+    so the kernel can skip selection matmuls for blocks beyond it —
+    block bA always runs, bA+1 iff hb >= bA+1, and the high pair
+    [bB, bB+1] only when hb >= bA+2 (bB is then max(bA+2, hb-1), so the
+    pair always covers hb; otherwise bB collapses to bA, which also
+    makes its window DMAs re-fetch pair A's rows — free under Mosaic's
+    consecutive-copy elision). The four executed blocks stay DISJOINT,
+    so the one-hot row sums never double-count.
+    """
+    V = qkeym.shape[0]
+    nt = V // tile
+    shifts = jnp.asarray(_group_shifts(extent), jnp.int32)  # (9,)
+    q = qkeym[None, :] + shifts[:, None]                    # (9, V)
+    qt = q.reshape(_GROUPS, nt, tile)
+    gv = gvalid.reshape(_GROUPS, nt, tile)
+    big = jnp.int32(2_147_000_000)
+    lo = jnp.where(gv, qt - 1, big).min(axis=2)             # (9, nt)
+    hi = jnp.where(gv, qt + 1, -1).max(axis=2)              # (9, nt)
+    ranks = lookup_rank(in_keys, jnp.stack([lo, hi]))       # (2, 9, nt)
+    max_blk = v_in // wb + 2  # table padded by 4*wb rows
+    bA = jnp.clip(ranks[0] // wb, 0, max_blk).astype(jnp.int32)
+    # ranks[1] is searchsorted-LEFT of the max query hi, so a match
+    # EQUAL to hi sits exactly AT position ranks[1]; every other match
+    # is < hi and sits below it. Highest possible match position is
+    # therefore ranks[1] itself (NOT ranks[1]-1 — that off-by-one
+    # dropped a boundary match landing on the first row of the next
+    # block). -1 when the group has no valid query in the tile.
+    hb = jnp.where(gv.any(axis=2), ranks[1] // wb,
+                   -1).astype(jnp.int32)
+    need_b = hb >= bA + 2
+    # bA <= v_in//wb and hb <= (v_in-1)//wb, so bB <= max_blk
+    bB = jnp.where(need_b, jnp.maximum(bA + 2, hb - 1),
+                   bA).astype(jnp.int32)
+    blk = jnp.stack([bA, bB, hb], axis=-1)                  # (9, nt, 3)
+    return jnp.transpose(blk, (1, 0, 2)).reshape(nt * _STRIDE)
+
 
 def conv_window_geometry(in_keys, q0, qvalid, extent, tile: int, wb: int):
     """Per-sample window geometry for a keyed conv.
@@ -78,7 +126,7 @@ def conv_window_geometry(in_keys, q0, qvalid, extent, tile: int, wb: int):
     Returns dict with:
       qkeym: (V,) shifted-safe query keys (_BIGQ at invalid rows)
       mask:  (V,) 27-bit offset validity
-      blk:   (nt*18,) flat window anchors (map_kernel.build_anchors)
+      blk:   (nt*27,) flat anchor records (_build_anchors_hb)
       bad:   (V,) rows the windows cannot decide (exact gap predicate)
     """
     v_in = in_keys.shape[0]
@@ -86,8 +134,8 @@ def conv_window_geometry(in_keys, q0, qvalid, extent, tile: int, wb: int):
     qv = qvalid & (qkey != KEY_SENTINEL)
     qkeym = jnp.where(qv, qkey, _BIGQ)
     mask = offset_validity_mask(q0, qv, extent)
-    blk = build_anchors(in_keys, qkeym, _group_valid(mask), extent,
-                        v_in, tile, wb)
+    blk = _build_anchors_hb(in_keys, qkeym, _group_valid(mask), extent,
+                            v_in, tile, wb)
     bad = detect_bad_rows(in_keys, qkeym, mask, blk, extent, tile, wb)
     return {"qkeym": qkeym, "mask": mask, "blk": blk, "bad": bad}
 
@@ -103,7 +151,7 @@ def detect_bad_rows(in_keys, qkeym, mask, blk, extent, tile: int, wb: int):
     nt = V // tile
     keys_p = jnp.concatenate(
         [in_keys, jnp.full((4 * wb,), KEY_SENTINEL, jnp.int32)])
-    ab = blk.reshape(nt, _GROUPS, _PAIRS)
+    ab = blk.reshape(nt, _GROUPS, _REC)
     bA = ab[:, :, 0]
     bB = ab[:, :, 1]                                   # (nt, 9)
     amax = keys_p[(bA + 2) * wb - 1]                   # (nt, 9)
@@ -150,102 +198,135 @@ def build_fix_plan(in_keys, bad, q0, qvalid, extent, budget: int):
 # Pallas kernels
 # ---------------------------------------------------------------------------
 
-def _keyed_conv_kernel(sh_ref, tab_ref, qk_ref, mask_ref, w_ref, *refs):
-    """Grid (B, nt). refs = 36 feature-window refs then out_ref.
+def _s_block(tab_ref, row_idx, q, mask, g):
+    """(3T, wb) one-hot selection for ONE wb-row key block: row l matches
+    query v of offset e iff tab[row_idx, l] == q[v] + (e-1) and the
+    validity bit is set. Disjoint executed blocks + unique keys mean at
+    most one 1 per (v, e) row across ALL blocks."""
+    row = tab_ref[0, pl.ds(row_idx, 1), :]             # (1, wb)
+    parts = []
+    for e in range(_W):
+        vb = ((mask >> (g * _W + e)) & 1) > 0          # (T, 1)
+        parts.append((row == (q + (e - 1))) & vb)      # (T, wb)
+    return jnp.concatenate(parts, axis=0).astype(jnp.bfloat16)
 
-    sh_ref SMEM (B, 9 + nt*18): group shifts ++ flat anchors; tab_ref
-    (1, rows, wb) the ENTIRE padded key table (VMEM-resident; 65k keys =
-    256 KB); qk/mask (1, 1, T); w_ref (27, C, Co) bf16; feature windows
-    (1, wb, C); out (1, T, Co) f32.
+
+def _select_x(sh_ref, tab_ref, x_ref, wins_g, q, mask, b, base, g):
+    """Write the gathered (3T, C) feature rows for group g into x_ref,
+    running ONE selection matmul per needed wb-block (block-granular
+    skip, round 5): bA always; bA+1 iff hb >= bA+1; the high pair only
+    iff hb >= bA+2 (then bB+1 iff hb >= bB+1). Skipped blocks cannot
+    contain a match (hb bounds the match rank), and each (row, channel)
+    of x receives at most one nonzero contribution, so the conditional
+    f32 accumulation is bit-identical to the old fused (3T, 4wb) matmul.
+    """
+    bA = sh_ref[b, base]
+    bB = sh_ref[b, base + 1]
+    hb = sh_ref[b, base + 2]
+
+    def term(row_idx, win_ref):
+        return jax.lax.dot_general(
+            _s_block(tab_ref, row_idx, q, mask, g),
+            win_ref[0].astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    x_ref[...] = term(bA, wins_g[0])
+
+    @pl.when(hb >= bA + 1)
+    def _b1():
+        x_ref[...] += term(bA + 1, wins_g[1])
+
+    @pl.when(hb >= bA + 2)
+    def _b2():
+        x_ref[...] += term(bB, wins_g[2])
+
+    @pl.when((hb >= bA + 2) & (hb >= bB + 1))
+    def _b3():
+        x_ref[...] += term(bB + 1, wins_g[3])
+
+
+def _keyed_conv_kernel(sh_ref, tab_ref, qk_ref, mask_ref, w_ref, *refs):
+    """Grid (B, nt). refs = 36 feature-window refs, out_ref, x scratch.
+
+    sh_ref SMEM (B, 9 + nt*27 + nt): group shifts ++ flat [bA, bB, hb]
+    anchor records ++ per-tile any-valid flags; tab_ref (1, rows, wb)
+    the ENTIRE padded key table (VMEM-resident; 65k keys = 256 KB);
+    qk/mask (1, 1, T); w_ref (27, C, Co) bf16; feature windows
+    (1, wb, C); out (1, T, Co) f32; x scratch (3T, C) f32.
+
+    Fully-invalid tiles (invalid keys sort to a contiguous suffix, so
+    they are whole trailing tiles) write zeros and skip all compute.
     """
     wins = refs[:_NW * _GROUPS]
     out_ref = refs[_NW * _GROUPS]
+    x_ref = refs[_NW * _GROUPS + 1]
     b = pl.program_id(0)
     t = pl.program_id(1)
-    stride = _GROUPS * _PAIRS
+    nt = pl.num_programs(1)
     T = qk_ref.shape[2]
     Co = w_ref.shape[2]
-    wb = wins[0].shape[1]
+    tv = sh_ref[b, 9 + nt * _STRIDE + t]
 
-    qk = qk_ref[0, 0, :][:, None]          # (T, 1)
-    mask = mask_ref[0, 0, :][:, None]      # (T, 1)
-    acc = jnp.zeros((T, Co), jnp.float32)
-    for g in range(_GROUPS):
-        bA = sh_ref[b, 9 + t * stride + g * _PAIRS]
-        bB = sh_ref[b, 9 + t * stride + g * _PAIRS + 1]
-        q = qk + sh_ref[b, g]              # (T, 1)
-        rows = [tab_ref[0, pl.ds(bA, 1), :], tab_ref[0, pl.ds(bA + 1, 1), :],
-                tab_ref[0, pl.ds(bB, 1), :], tab_ref[0, pl.ds(bB + 1, 1), :]]
-        win = jnp.concatenate(
-            [wins[_NW * g + j][0] for j in range(_NW)], axis=0
-        ).astype(jnp.bfloat16)             # (4wb, C)
-        parts = []
-        for e in range(_W):
-            vb = ((mask >> (g * _W + e)) & 1) > 0        # (T, 1)
-            qe = q + (e - 1)
-            s_e = jnp.concatenate(
-                [(row == qe) for row in rows], axis=1)   # (T, 4wb)
-            parts.append(s_e & vb)
-        s = jnp.concatenate(parts, axis=0).astype(jnp.bfloat16)  # (3T, 4wb)
-        x = jax.lax.dot_general(
-            s, win, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(jnp.bfloat16)             # (3T, C)
-        for e in range(_W):
-            acc = acc + jax.lax.dot_general(
-                x[e * T:(e + 1) * T], w_ref[g * _W + e],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-    out_ref[0] = acc
+    @pl.when(tv == 0)
+    def _dead():
+        out_ref[0] = jnp.zeros((T, Co), jnp.float32)
+
+    @pl.when(tv != 0)
+    def _live():
+        qk = qk_ref[0, 0, :][:, None]          # (T, 1)
+        mask = mask_ref[0, 0, :][:, None]      # (T, 1)
+        acc = jnp.zeros((T, Co), jnp.float32)
+        for g in range(_GROUPS):
+            q = qk + sh_ref[b, g]              # (T, 1)
+            _select_x(sh_ref, tab_ref, x_ref,
+                      wins[_NW * g:_NW * (g + 1)], q, mask, b,
+                      9 + t * _STRIDE + g * _REC, g)
+            x = x_ref[...].astype(jnp.bfloat16)  # (3T, C)
+            for e in range(_W):
+                acc = acc + jax.lax.dot_general(
+                    x[e * T:(e + 1) * T], w_ref[g * _W + e],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+        out_ref[0] = acc
 
 
 def _keyed_dw_kernel(sh_ref, tab_ref, qk_ref, mask_ref, dout_ref, *refs):
-    """Grid (B, nt). refs = 36 feature-window refs then dw_ref
-    (27, C, Co) f32 — revisited every grid step (constant index map) so
-    the accumulator lives in VMEM for the whole pass."""
+    """Grid (B, nt). refs = 36 feature-window refs, dw_ref (27, C, Co)
+    f32 — revisited every grid step (constant index map) so the
+    accumulator lives in VMEM for the whole pass — then x scratch.
+    Block-granular selection + dead-tile skip as in _keyed_conv_kernel
+    (dout is premasked, so skipped tiles contribute exact zeros)."""
     wins = refs[:_NW * _GROUPS]
     dw_ref = refs[_NW * _GROUPS]
+    x_ref = refs[_NW * _GROUPS + 1]
     b = pl.program_id(0)
     t = pl.program_id(1)
-    stride = _GROUPS * _PAIRS
+    nt = pl.num_programs(1)
     T = qk_ref.shape[2]
-    wb = wins[0].shape[1]
     first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
 
     @pl.when(first)
     def _init():
         dw_ref[...] = jnp.zeros(dw_ref.shape, dw_ref.dtype)
 
-    qk = qk_ref[0, 0, :][:, None]
-    mask = mask_ref[0, 0, :][:, None]
-    dout = dout_ref[0].astype(jnp.bfloat16)  # (T, Co)
-    for g in range(_GROUPS):
-        bA = sh_ref[b, 9 + t * stride + g * _PAIRS]
-        bB = sh_ref[b, 9 + t * stride + g * _PAIRS + 1]
-        q = qk + sh_ref[b, g]
-        rows = [tab_ref[0, pl.ds(bA, 1), :], tab_ref[0, pl.ds(bA + 1, 1), :],
-                tab_ref[0, pl.ds(bB, 1), :], tab_ref[0, pl.ds(bB + 1, 1), :]]
-        win = jnp.concatenate(
-            [wins[_NW * g + j][0] for j in range(_NW)], axis=0
-        ).astype(jnp.bfloat16)
-        parts = []
-        for e in range(_W):
-            vb = ((mask >> (g * _W + e)) & 1) > 0
-            qe = q + (e - 1)
-            s_e = jnp.concatenate(
-                [(row == qe) for row in rows], axis=1)
-            parts.append(s_e & vb)
-        s = jnp.concatenate(parts, axis=0).astype(jnp.bfloat16)
-        x = jax.lax.dot_general(
-            s, win, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(jnp.bfloat16)
-        for e in range(_W):
-            dw_ref[g * _W + e] += jax.lax.dot_general(
-                x[e * T:(e + 1) * T], dout, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+    @pl.when(sh_ref[b, 9 + nt * _STRIDE + t] != 0)
+    def _live():
+        qk = qk_ref[0, 0, :][:, None]
+        mask = mask_ref[0, 0, :][:, None]
+        dout = dout_ref[0].astype(jnp.bfloat16)  # (T, Co)
+        for g in range(_GROUPS):
+            q = qk + sh_ref[b, g]
+            _select_x(sh_ref, tab_ref, x_ref,
+                      wins[_NW * g:_NW * (g + 1)], q, mask, b,
+                      9 + t * _STRIDE + g * _REC, g)
+            x = x_ref[...].astype(jnp.bfloat16)
+            for e in range(_W):
+                dw_ref[g * _W + e] += jax.lax.dot_general(
+                    x[e * T:(e + 1) * T], dout, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
 
 
 def _keyed_dw_kernel_g(sh_ref, tab_ref, qk_ref, mask_ref, dout_ref, *refs):
@@ -255,13 +336,15 @@ def _keyed_dw_kernel_g(sh_ref, tab_ref, qk_ref, mask_ref, dout_ref, *refs):
     (B, nt) sweep so accumulation stays in VMEM per group. Window refs
     are the 4 blocks of THIS group only (index maps take the g grid
     index); total window DMA across the grid equals the fused kernel's
-    36-per-(b,t)."""
+    36-per-(b,t). Block-granular selection + dead-tile skip as in
+    _keyed_conv_kernel."""
     wins = refs[:_NW]
     dw_ref = refs[_NW]
+    x_ref = refs[_NW + 1]
     g = pl.program_id(0)
     b = pl.program_id(1)
     t = pl.program_id(2)
-    stride = _GROUPS * _PAIRS
+    nt = pl.num_programs(2)
     T = qk_ref.shape[2]
     first = (b == 0) & (t == 0)
 
@@ -269,49 +352,31 @@ def _keyed_dw_kernel_g(sh_ref, tab_ref, qk_ref, mask_ref, dout_ref, *refs):
     def _init():
         dw_ref[...] = jnp.zeros(dw_ref.shape, dw_ref.dtype)
 
-    qk = qk_ref[0, 0, :][:, None]
-    mask = mask_ref[0, 0, :][:, None]
-    dout = dout_ref[0].astype(jnp.bfloat16)
-    bA = sh_ref[b, 9 + t * stride + g * _PAIRS]
-    bB = sh_ref[b, 9 + t * stride + g * _PAIRS + 1]
-    q = qk + sh_ref[b, g]
-    rows = [tab_ref[0, pl.ds(bA, 1), :], tab_ref[0, pl.ds(bA + 1, 1), :],
-            tab_ref[0, pl.ds(bB, 1), :], tab_ref[0, pl.ds(bB + 1, 1), :]]
-    win = jnp.concatenate(
-        [wins[j][0] for j in range(_NW)], axis=0
-    ).astype(jnp.bfloat16)
-    parts = []
-    for e in range(_W):
-        vb = ((mask >> (g * _W + e)) & 1) > 0
-        qe = q + (e - 1)
-        s_e = jnp.concatenate(
-            [(row == qe) for row in rows], axis=1)
-        parts.append(s_e & vb)
-    s = jnp.concatenate(parts, axis=0).astype(jnp.bfloat16)
-    x = jax.lax.dot_general(
-        s, win, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(jnp.bfloat16)
-    for e in range(_W):
-        dw_ref[e] += jax.lax.dot_general(
-            x[e * T:(e + 1) * T], dout, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+    @pl.when(sh_ref[b, 9 + nt * _STRIDE + t] != 0)
+    def _live():
+        qk = qk_ref[0, 0, :][:, None]
+        mask = mask_ref[0, 0, :][:, None]
+        dout = dout_ref[0].astype(jnp.bfloat16)
+        q = qk + sh_ref[b, g]
+        _select_x(sh_ref, tab_ref, x_ref, wins, q, mask, b,
+                  9 + t * _STRIDE + g * _REC, g)
+        x = x_ref[...].astype(jnp.bfloat16)
+        for e in range(_W):
+            dw_ref[e] += jax.lax.dot_general(
+                x[e * T:(e + 1) * T], dout, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
 
 
 def _win_index_map(g, pair, off):
-    stride = _GROUPS * _PAIRS
-
     def index_map(bi, t, sh_s):
-        return (bi, sh_s[bi, 9 + t * stride + g * _PAIRS + pair] + off, 0)
+        return (bi, sh_s[bi, 9 + t * _STRIDE + g * _REC + pair] + off, 0)
     return index_map
 
 
 def _win_index_map_g(pair, off):
-    stride = _GROUPS * _PAIRS
-
     def index_map(g, bi, t, sh_s):
-        return (bi, sh_s[bi, 9 + t * stride + g * _PAIRS + pair] + off, 0)
+        return (bi, sh_s[bi, 9 + t * _STRIDE + g * _REC + pair] + off, 0)
     return index_map
 
 
@@ -322,6 +387,13 @@ def _win_specs(wb, C):
         for pair in range(_PAIRS)
         for off in range(2)
     ]
+
+
+def _tile_valid(qkeym, nt, tile):
+    """(B, nt) int32: 1 where the tile has any valid query (invalid rows
+    carry _BIGQ)."""
+    B = qkeym.shape[0]
+    return (qkeym.reshape(B, nt, tile) != _BIGQ).any(-1).astype(jnp.int32)
 
 
 def _pad_table(in_keys, wb):
@@ -370,8 +442,9 @@ def keyed_bwd_ok(c_in: int, c_out: int) -> bool:
 def keyed_conv(feats, in_keys, qkeym, mask, blk, shifts, weights,
                tile: int = 128, wb: int = 128, interpret: bool = False):
     """feats: (B, V_in, C); in_keys: (B, V_in) sorted; qkeym: (B, V);
-    mask: (B, V) 27-bit validity; blk: (B, nt*18) flat anchors; shifts:
-    (9,); weights: (27, C, Co). Returns (B, V, Co) float32.
+    mask: (B, V) 27-bit validity; blk: (B, nt*27) flat [bA, bB, hb]
+    anchor records; shifts: (9,); weights: (27, C, Co). Returns
+    (B, V, Co) float32.
 
     Misses contribute zero (no window key equals the shifted query);
     bad rows are partial and MUST be overwritten by the caller's fix-up.
@@ -406,8 +479,8 @@ def keyed_conv(feats, in_keys, qkeym, mask, blk, shifts, weights,
          jnp.zeros((B, 4 * wb, C), jnp.bfloat16)], axis=1
     )
     sh = jnp.concatenate(
-        [jnp.broadcast_to(shifts.astype(jnp.int32)[None], (B, 9)), blk],
-        axis=1)
+        [jnp.broadcast_to(shifts.astype(jnp.int32)[None], (B, 9)), blk,
+         _tile_valid(qkeym, nt, tile)], axis=1)
     wflat = weights.astype(jnp.bfloat16)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -422,6 +495,7 @@ def keyed_conv(feats, in_keys, qkeym, mask, blk, shifts, weights,
         ],
         out_specs=pl.BlockSpec((1, tile, Co),
                                lambda bi, t, sh_s: (bi, t, 0)),
+        scratch_shapes=[pltpu.VMEM((_W * tile, C), jnp.float32)],
     )
     return pl.pallas_call(
         _keyed_conv_kernel,
@@ -451,8 +525,8 @@ def keyed_conv_dw(feats, in_keys, qkeym, mask, blk, shifts, dout,
          jnp.zeros((B, 4 * wb, C), jnp.bfloat16)], axis=1
     )
     sh = jnp.concatenate(
-        [jnp.broadcast_to(shifts.astype(jnp.int32)[None], (B, 9)), blk],
-        axis=1)
+        [jnp.broadcast_to(shifts.astype(jnp.int32)[None], (B, 9)), blk,
+         _tile_valid(qkeym, nt, tile)], axis=1)
 
     if 27 * C * Co * 4 > DW_SCRATCH_CAP:
         # group-split accumulator: grid (9, B, nt), dw block (3, C, Co)
@@ -473,6 +547,7 @@ def keyed_conv_dw(feats, in_keys, qkeym, mask, blk, shifts, dout,
             ],
             out_specs=pl.BlockSpec((3, C, Co),
                                    lambda g, bi, t, sh_s: (g, 0, 0)),
+            scratch_shapes=[pltpu.VMEM((_W * tile, C), jnp.float32)],
         )
         return pl.pallas_call(
             _keyed_dw_kernel_g,
@@ -498,6 +573,7 @@ def keyed_conv_dw(feats, in_keys, qkeym, mask, blk, shifts, dout,
         ],
         out_specs=pl.BlockSpec((27, C, Co),
                                lambda bi, t, sh_s: (0, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((_W * tile, C), jnp.float32)],
     )
     return pl.pallas_call(
         _keyed_dw_kernel,

@@ -60,7 +60,7 @@ class VoxelGrid:
     # it None and carry wk_lazy_nbr instead
     nbr_idx: jnp.ndarray = None
     # keyed window-kernel geometry (ops/sparse_conv_keyed.py), attached
-    # by attach_kernel_map on TPU: win_blk (B, nt*9*2) — flat dual-pair
+    # by attach_kernel_map on TPU: win_blk (B, nt*9*3) — flat [bA,bB,hb]
     # window anchors (an (nt, 9, 2) scalar-prefetch operand pads its
     # trailing dims in SMEM past the 1 MB budget, so anchors ship as a
     # flat vector); wk_qkey (B, V) shifted-safe query keys; wk_mask
