@@ -184,8 +184,9 @@ def _dropout_scale(seed_ref, tile_id, shape, rate):
 
 
 def _kernel(seed_ref, q_ref, k_ref, v_ref, corners_ref, cossin_ref, kxyz_ref,
-            kvalid_ref, tables_ref, out_ref, lse_ref, m_ref, z_ref, acc_ref,
-            *, n, H, hd, TQ, TK, log_scale, max_value, rotate, dropout_rate):
+            kvalid_ref, tables_ref, out_ref, lse_ref, *refs,
+            n, H, hd, TQ, TK, log_scale, max_value, rotate, dropout_rate,
+            emit_logits=False):
     """Grid (B, nQ/TQ, nK/TK), k innermost. Scratch m/z/acc persist
     across the k dimension (flash-attention pattern).
 
@@ -203,7 +204,18 @@ def _kernel(seed_ref, q_ref, k_ref, v_ref, corners_ref, cossin_ref, kxyz_ref,
     head-selection matmul AFTER the corner sum. Everything lives in
     VMEM; no gathers. All dots run at the backend's default matmul
     precision (bf16 inputs / f32 accumulation on TPU — explicit bf16
-    casts are no-ops, measured bit-identical)."""
+    casts are no-ops, measured bit-identical).
+
+    emit_logits (the TRAIN-path variant, round 5): additionally writes
+    the masked biased logits l per tile to an extra output, so the flash
+    backward reads them instead of recomputing the whole RPE bias
+    (quantize + hat-product P + MXU contractions) a second time —
+    _bwd_kernel_a then builds P only for dTables."""
+    if emit_logits:
+        l_out_ref = refs[0]
+        m_ref, z_ref, acc_ref = refs[1:]
+    else:
+        m_ref, z_ref, acc_ref = refs
     b = pl.program_id(0)
     iq = pl.program_id(1)
     ik = pl.program_id(2)
@@ -249,6 +261,8 @@ def _kernel(seed_ref, q_ref, k_ref, v_ref, corners_ref, cossin_ref, kxyz_ref,
 
     # streaming softmax update, all H*TQ rows at once
     l = jnp.where(kvalid > 0, logits, NEG_INF)         # (HTQ, TK)
+    if emit_logits:
+        l_out_ref[0, 0] = l
     m_old = m_ref[:, :]                                # (HTQ, 1)
     m_new = jnp.maximum(m_old, jnp.max(l, axis=1, keepdims=True))
     alpha = jnp.exp(m_old - m_new)
@@ -343,6 +357,7 @@ def rpe_cross_attention_pallas(q, k, v, corners, angles, key_xyz, tables,
                                tq: int = 32, tk: Optional[int] = None,
                                dropout_rate: float = 0.0, seed=None,
                                return_lse: bool = False,
+                               return_logits: bool = False,
                                interpret: bool = False):
     """Fused kernel entry.
 
@@ -385,7 +400,23 @@ def rpe_cross_attention_pallas(q, k, v, corners, angles, key_xyz, tables,
     kernel = functools.partial(
         _kernel, n=n, H=H, hd=hd, TQ=tq, TK=TK, log_scale=log_scale,
         max_value=max_value, rotate=rotate, dropout_rate=dropout_rate,
+        emit_logits=return_logits,
     )
+    out_specs = [
+        pl.BlockSpec((1, 1, H * tq, hd),
+                     lambda b, iq, ik, *_: (b, iq, 0, 0)),
+        pl.BlockSpec((1, 1, H * tq, 1),
+                     lambda b, iq, ik, *_: (b, iq, 0, 0)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((B, nqt, H * tq, hd), jnp.float32),
+        jax.ShapeDtypeStruct((B, nqt, H * tq, 1), jnp.float32),
+    ]
+    if return_logits:
+        out_specs.append(pl.BlockSpec((1, 1, H * tq, TK),
+                                      lambda b, iq, ik, *_: (b, iq, 0, ik)))
+        out_shape.append(
+            jax.ShapeDtypeStruct((B, nqt, H * tq, nK), jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
@@ -401,74 +432,44 @@ def rpe_cross_attention_pallas(q, k, v, corners, angles, key_xyz, tables,
             pl.BlockSpec((4, n * n, 2 * n * H),
                          lambda b, iq, ik, *_: (0, 0, 0)),
         ],
-        out_specs=[
-            pl.BlockSpec((1, 1, H * tq, hd),
-                         lambda b, iq, ik, *_: (b, iq, 0, 0)),
-            pl.BlockSpec((1, 1, H * tq, 1),
-                         lambda b, iq, ik, *_: (b, iq, 0, 0)),
-        ],
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((H * tq, 1), jnp.float32),    # running max
             pltpu.VMEM((H * tq, 1), jnp.float32),    # running denom
             pltpu.VMEM((H * tq, hd), jnp.float32),   # output accumulator
         ],
     )
-    out, lse = pl.pallas_call(
+    res = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((B, nqt, H * tq, hd), jnp.float32),
-            jax.ShapeDtypeStruct((B, nqt, H * tq, 1), jnp.float32),
-        ],
+        out_shape=out_shape,
         interpret=interpret,
     )(seed, q_t, k, v, corners_t, cossin, kxyz_t, kvalid, tables_in)
-    out = _unblock_q(out, B, nqt, tq, H, hd)
+    out = _unblock_q(res[0], B, nqt, tq, H, hd)
+    if return_logits:
+        return out, res[1], res[2]
     if return_lse:
-        return out, lse
+        return out, res[1]
     return out
 
 
-def _recompute_p(seed_ref, q_tile, k_tile, kvalid, corners_ref, cossin_ref,
-                 kxyz_ref, tables_ref, lse, tile_id, *, n, H, TQ, TK,
-                 log_scale, max_value, rotate, dropout_rate):
-    """Shared backward-tile recomputation: normalized probs e = exp(l-lse)
-    (masked), the dropout scale g, and the tap-closure/iotas for dT."""
-    E = TQ * TK
-    HTQ = H * TQ
-    logits = jax.lax.dot_general(
-        q_tile, k_tile, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    pair_idx = _pair_tap_fn(corners_ref, cossin_ref, kxyz_ref, TQ=TQ,
-                            E=E, n=n, log_scale=log_scale,
-                            max_value=max_value, rotate=rotate)
-    iotas = _tile_iotas(n, H, E)
-    bias_heads = _bias_tile(pair_idx, tables_ref, iotas, n, H)
-    logits = logits + bias_heads.reshape(HTQ, TK)
-    l = jnp.where(kvalid > 0, logits, NEG_INF)
-    e = jnp.exp(l - lse)                               # (HTQ, TK) sums to 1
-    e = jnp.where(kvalid > 0, e, 0.0)
-    if dropout_rate > 0.0:
-        g = _dropout_scale(seed_ref, tile_id, (HTQ, TK), dropout_rate)
-    else:
-        g = None
-    return e, g, pair_idx, iotas
-
-
-def _bwd_kernel_a(seed_ref, q_ref, k_ref, v_ref, corners_ref, cossin_ref,
-                  kxyz_ref, kvalid_ref, tables_ref, do_ref, lse_ref, dd_ref,
+def _bwd_kernel_a(seed_ref, l_ref, k_ref, v_ref, corners_ref, cossin_ref,
+                  kxyz_ref, do_ref, lse_ref, dd_ref,
                   dq_ref, dt_ref, ds_ref, eg_ref, dq_acc,
                   *, n, H, hd, TQ, TK, log_scale, max_value, rotate,
                   dropout_rate):
-    """Flash backward, SINGLE bias recompute: dQ (accumulated over k
-    tiles, grid k-inner), dTables (accumulated in a VMEM-resident
-    constant output block across the whole grid — the TPU grid is
-    sequential), plus the materialized dlogits (ds) and dropout-scaled
-    probs (eg) tiles. dK/dV then become two plain XLA matmuls over
-    ds/eg outside the kernel — the round-3 second backward kernel
-    rebuilt the full bias a third time (~9 ms/layer) to avoid exactly
-    this 2x(B, H*nQ, nK) f32 HBM round-trip, which costs only ~0.3 ms
-    at 100k-point size.
+    """Flash backward, ZERO bias recomputes (round 5): the train forward
+    materializes the masked biased logits l per tile (emit_logits), so
+    the probs are just e = exp(l - lse) — no QK^T matmul, no quantize,
+    no bias rebuild. The hat-product P matrices are built exactly ONCE
+    per pair here, for dTables only (the pre-round-5 kernel built the
+    bias for e and then built P again for dTables). dQ accumulates over
+    k tiles (grid k-inner); dTables accumulates in a VMEM-resident
+    constant output block across the whole grid (the TPU grid is
+    sequential); the materialized dlogits (ds) and dropout-scaled probs
+    (eg) tiles make dK/dV two plain XLA matmuls outside the kernel —
+    that 2x(B, H*nQ, nK) f32 HBM round-trip costs only ~0.3 ms at
+    100k-point size (the stored l adds one more, same scaling).
 
     Gradient notation: e = normalized probs, g = dropout scale, O/dO the
     forward output and its cotangent, D = rowsum(dO * O). Then
@@ -496,11 +497,14 @@ def _bwd_kernel_a(seed_ref, q_ref, k_ref, v_ref, corners_ref, cossin_ref,
     do_tile = do_ref[0, 0]                             # (HTQ, hd)
     lse = lse_ref[0, 0]                                # (HTQ, 1)
     dd = dd_ref[0, 0]                                  # (HTQ, 1)
-    e, g, pair_idx, iotas = _recompute_p(
-        seed_ref, q_ref[0, 0], k_tile, kvalid_ref[0], corners_ref,
-        cossin_ref, kxyz_ref, tables_ref, lse, (b * nqt + iq) * nk + ik,
-        n=n, H=H, TQ=TQ, TK=TK, log_scale=log_scale, max_value=max_value,
-        rotate=rotate, dropout_rate=dropout_rate)
+    # masked logits stored by the forward: exp(NEG_INF - lse) == 0, so
+    # invalid keys and fully-masked rows (lse forced to 0) contribute 0
+    e = jnp.exp(l_ref[0, 0] - lse)                     # (HTQ, TK)
+    if dropout_rate > 0.0:
+        g = _dropout_scale(seed_ref, (b * nqt + iq) * nk + ik,
+                           (HTQ, TK), dropout_rate)
+    else:
+        g = None
     dp = jax.lax.dot_general(
         do_tile, v_tile, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -516,8 +520,11 @@ def _bwd_kernel_a(seed_ref, q_ref, k_ref, v_ref, corners_ref, cossin_ref,
     )
     # dTables: dv40 = S^T @ dBias_heads; per pair dU = the two z-hat
     # folds stacked on sublanes, dT_p += P_p @ dU^T (contract over E)
-    rowa, rowb, roww, S = iotas
     E = TQ * TK
+    pair_idx = _pair_tap_fn(corners_ref, cossin_ref, kxyz_ref, TQ=TQ,
+                            E=E, n=n, log_scale=log_scale,
+                            max_value=max_value, rotate=rotate)
+    rowa, rowb, roww, S = _tile_iotas(n, H, E)
     nH = n * H
     dbias = ds.reshape(H, E)
     dv40 = jax.lax.dot_general(
@@ -541,29 +548,34 @@ def _bwd_kernel_a(seed_ref, q_ref, k_ref, v_ref, corners_ref, cossin_ref,
 
 
 def _flash_fwd_impl(q, k, v, corners, angles, key_xyz, tables, key_valid_f,
-                    seed, log_scale, max_value, rotate, dropout_rate):
+                    seed, log_scale, max_value, rotate, dropout_rate,
+                    return_logits=False):
     return rpe_cross_attention_pallas(
         q, k, v, corners, angles, key_xyz, tables, key_valid_f > 0.5,
         log_scale=log_scale, max_value=max_value, rotate=rotate,
         dropout_rate=dropout_rate, seed=seed, return_lse=True,
+        return_logits=return_logits,
     )
 
 
 def _flash_bwd_impl(q, k, v, corners, angles, key_xyz, tables, key_valid_f,
-                    seed, out, lse, g_out, log_scale, max_value, rotate,
-                    dropout_rate, tq=32, tk=None, interpret=False):
+                    seed, out, lse, logits_t, g_out, log_scale, max_value,
+                    rotate, dropout_rate, tq=32, tk=None, interpret=False):
     """Launch the backward kernel; returns (dq, dk, dv, dtables).
 
-    One Pallas pass produces dQ/dTables and materializes ds (dlogits)
-    and eg (dropout-scaled probs); dK = ds^T @ Q and dV = eg^T @ dO are
-    ordinary XLA batched matmuls (see _bwd_kernel_a docstring for the
-    trade)."""
+    logits_t: the blocked (B, nqt, H*tq, nK) masked biased logits the
+    TRAIN forward materialized (emit_logits) — the backward reads them
+    instead of recomputing the RPE bias. One Pallas pass produces
+    dQ/dTables and materializes ds (dlogits) and eg (dropout-scaled
+    probs); dK = ds^T @ Q and dV = eg^T @ dO are ordinary XLA batched
+    matmuls (see _bwd_kernel_a docstring for the trade)."""
     B, nQ, H, hd = q.shape
     nK = k.shape[1]
     n = tables.shape[1]
     (q_t, corners_t, cossin, kxyz_t, kvalid, tables_in, TK, tq,
      nqt) = _prep_inputs(q, k, corners, angles, key_xyz, key_valid_f > 0.5,
                          tables, tq, tk)
+    del q_t, kvalid, tables_in  # bias is not recomputed in backward
     seed = jnp.zeros((1,), jnp.int32) if seed is None else (
         jnp.asarray(seed, jnp.int32).reshape(1))
     do_t = _block_q(g_out, B, nqt, tq, H, hd)
@@ -580,7 +592,6 @@ def _flash_bwd_impl(q, k, v, corners, angles, key_xyz, tables, key_valid_f,
     cspec = pl.BlockSpec((1, tq, 24), lambda b, i, j, *_: (b, i, 0))
     aspec = pl.BlockSpec((1, tq, 2), lambda b, i, j, *_: (b, i, 0))
     xspec = pl.BlockSpec((1, 3, TK), lambda b, i, j, *_: (b, 0, j))
-    mspec = pl.BlockSpec((1, 1, TK), lambda b, i, j, *_: (b, 0, j))
     tspec = pl.BlockSpec((4, n * n, 2 * n * H),
                          lambda b, i, j, *_: (0, 0, 0))
     pspec = pl.BlockSpec((1, 1, H * tq, TK), lambda b, i, j, *_: (b, i, 0, j))
@@ -590,8 +601,8 @@ def _flash_bwd_impl(q, k, v, corners, angles, key_xyz, tables, key_valid_f,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(B, nqt, nkt),
-            in_specs=[qspec, kspec, kspec, cspec, aspec, xspec, mspec,
-                      tspec, qspec, aux, aux],
+            in_specs=[pspec, kspec, kspec, cspec, aspec, xspec,
+                      qspec, aux, aux],
             out_specs=[qspec, tspec, pspec, pspec],
             scratch_shapes=[pltpu.VMEM((H * tq, hd), jnp.float32)],
         ),
@@ -602,7 +613,7 @@ def _flash_bwd_impl(q, k, v, corners, angles, key_xyz, tables, key_valid_f,
             jax.ShapeDtypeStruct((B, nqt, H * tq, nK), jnp.float32),
         ],
         interpret=interpret,
-    )(seed, q_t, k, v, corners_t, cossin, kxyz_t, kvalid, tables_in,
+    )(seed, logits_t, k, v, corners_t, cossin, kxyz_t,
       do_t, lse, dd)
 
     dq = _unblock_q(dq_t, B, nqt, tq, H, hd)
@@ -651,19 +662,23 @@ def rpe_cross_attention_flash(q, k, v, corners, angles, key_xyz, tables,
 
 def _flash_vjp_fwd(q, k, v, corners, angles, key_xyz, tables, key_valid_f,
                    seed, log_scale, max_value, rotate, dropout_rate):
-    out, lse = _flash_fwd_impl(q, k, v, corners, angles, key_xyz, tables,
-                               key_valid_f, seed, log_scale, max_value,
-                               rotate, dropout_rate)
+    # the train-path forward also materializes the masked biased logits
+    # ((B, nQ/tq, H*tq, nK) f32 — one more HBM tensor at the ds/eg
+    # scaling, ~64 MB/layer at the published B=1 size) so the backward
+    # skips the entire bias recompute
+    out, lse, logits_t = _flash_fwd_impl(
+        q, k, v, corners, angles, key_xyz, tables, key_valid_f, seed,
+        log_scale, max_value, rotate, dropout_rate, return_logits=True)
     return out, (q, k, v, corners, angles, key_xyz, tables, key_valid_f,
-                 seed, out, lse)
+                 seed, out, lse, logits_t)
 
 
 def _flash_vjp_bwd(log_scale, max_value, rotate, dropout_rate, res, g_out):
     (q, k, v, corners, angles, key_xyz, tables, key_valid_f, seed, out,
-     lse) = res
+     lse, logits_t) = res
     dq, dk, dv, dtables = _flash_bwd_impl(
         q, k, v, corners, angles, key_xyz, tables, key_valid_f, seed, out,
-        lse, g_out, log_scale, max_value, rotate, dropout_rate)
+        lse, logits_t, g_out, log_scale, max_value, rotate, dropout_rate)
     zero_seed = np.zeros(seed.shape, dtype=jax.dtypes.float0)
     return (dq, dk, dv, jnp.zeros_like(corners), jnp.zeros_like(angles),
             jnp.zeros_like(key_xyz), dtables, jnp.zeros_like(key_valid_f),
