@@ -650,13 +650,17 @@ keyed_conv_ad.defvjp(_kc_fwd, _kc_bwd)
 def keyed_conv_fwdk(feats, in_keys, qkeym, mask, blk, shifts, weights,
                     q0, qvalid, extent=None, tile=128, wb=128,
                     interpret=False, r=1):
-    """Keyed kernel FORWARD with lazily-mapped XLA-gather BACKWARD.
+    """Keyed kernel FORWARD with a keyed dW and a lazily-mapped
+    XLA-scatter dFeats backward.
 
     For convs where the flipped-weights dFeats identity does not hold
-    (stride-2: output sites != input sites) or where the dW kernel's
-    f32 VMEM scratch would not fit. The backward REBUILDS the (27, V)
-    neighbor map from the saved keys/coords via the z-run sort path and
-    replays the gather conv's vjp — eval never pays for a map at all;
+    (stride-2: output sites != input sites). dW runs the keyed dW
+    kernel on the SAME window geometry the forward used (strided
+    queries anchor identically — round 5), so no map is built for it.
+    dFeats still REBUILDS the (27, V) neighbor map from the saved
+    keys/coords via the z-run sort path and replays the gather conv's
+    f-only vjp (the linear scatter; the feats-gather and dW-contract
+    of the old full vjp are gone) — eval never pays for a map at all;
     training pays it once in backward (exactly what the eager map cost
     in forward before). q0: (B, V, 3) query centers in the TABLE's
     lattice units; qvalid: (B, V).
@@ -669,21 +673,27 @@ def _kcf_fwd(feats, in_keys, qkeym, mask, blk, shifts, weights, q0,
              qvalid, extent, tile, wb, interpret, r):
     out = keyed_conv(feats, in_keys, qkeym, mask, blk, shifts, weights,
                      tile=tile, wb=wb, interpret=interpret)
-    return out, (feats, in_keys, weights, q0, qvalid)
+    return out, (feats, in_keys, qkeym, mask, blk, shifts, weights,
+                 q0, qvalid)
 
 
 def _kcf_bwd(extent, tile, wb, interpret, r, res, dout):
     from vdetr_tpu.ops.sparse_conv import _gather_matmul, _zrun_neighbors
 
-    feats, in_keys, weights, q0, qvalid = res
+    feats, in_keys, qkeym, mask, blk, shifts, weights, q0, qvalid = res
+    dout = dout.astype(jnp.float32)
+    dw = keyed_conv_dw(feats, in_keys, qkeym, mask, blk, shifts, dout,
+                       tile=tile, wb=wb, interpret=interpret)
     nbr = jax.vmap(
         lambda k, q, v: _zrun_neighbors(k, q, v, extent, r)
     )(in_keys, q0, qvalid)
+    # gather_matmul is linear in f, so the f-only vjp is the pure
+    # transpose scatter — XLA dead-code-eliminates the forward gathers
     _, vjp = jax.vjp(
-        lambda f, w: jax.vmap(
-            lambda ff, ii: _gather_matmul(ff, ii, w))(f, nbr),
-        feats, weights)
-    df, dw = vjp(dout.astype(jnp.float32))
+        lambda f: jax.vmap(
+            lambda ff, ii: _gather_matmul(ff, ii, weights))(f, nbr),
+        feats)
+    (df,) = vjp(dout)
     return (df.astype(feats.dtype), None, None, None, None, None,
             dw.astype(weights.dtype), None, None)
 
